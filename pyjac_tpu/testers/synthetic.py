@@ -1,0 +1,212 @@
+"""Synthetic Chemkin mechanism generator.
+
+Produces mechanisms of arbitrary size that exercise every reaction
+category the framework supports (elementary, duplicate, irreversible,
+explicit-REV, third-body, Lindemann / Troe / SRI falloff, chemically
+activated, PLOG, Chebyshev, non-integer stoichiometry), with plausible
+but randomized NASA-7 thermo data.
+
+Used for (a) full-coverage parser/kernel tests beyond the small H2/O2
+fixture — whose reactions are only elementary/third-body/Troe — and
+(b) size-scaled benchmark mechanisms (e.g. GRI-3.0-sized: 53 species /
+325 reactions) when the real mechanism file is not available.
+Rates are tuned so states around T in [800, 2500] K neither overflow
+nor vanish.
+"""
+
+from __future__ import annotations
+
+import io
+from typing import List, Optional
+
+import numpy as np
+
+
+def _fmt_nasa_line(vals, count):
+    return ''.join('{: .8E}'.format(v) for v in vals[:count])
+
+
+def _species_thermo(name: str, elems, rng) -> str:
+    """One THERMO entry (4 fixed-column lines) with random-but-sane
+    NASA-7 coefficients."""
+    a0 = rng.uniform(2.5, 5.0)
+    a1 = rng.uniform(-2e-3, 3e-3)
+    a2 = rng.uniform(-2e-6, 2e-6)
+    a3 = rng.uniform(-1e-9, 1e-9)
+    a4 = rng.uniform(-1e-13, 1e-13)
+    a5 = rng.uniform(-4e3, 4e3)
+    a6 = rng.uniform(-5.0, 15.0)
+    lo = [a0, a1, a2, a3, a4, a5, a6]
+    # high range: same value-ish family, different coefficients
+    hi = [a0 + rng.uniform(-0.5, 0.5), a1 * rng.uniform(0.3, 0.9),
+          a2 * rng.uniform(0.1, 0.5), a3 * rng.uniform(0.1, 0.5),
+          a4 * rng.uniform(0.1, 0.5), a5 + rng.uniform(-50, 50),
+          a6 + rng.uniform(-1, 1)]
+
+    comp = ''.join('{:<2s}{:>3d}'.format(el, n) for el, n in elems)
+    comp = comp.ljust(20)
+    line1 = '{:<18s}{:>6s}{}G{:>10.3f}{:>10.3f}{:>9.3f}{:>6s}1'.format(
+        name, '', comp, 300.0, 5000.0, 1000.0, '')
+    line2 = _fmt_nasa_line(hi, 5) + '    2'
+    line3 = _fmt_nasa_line(hi[5:7] + lo[0:3], 5) + '    3'
+    line4 = _fmt_nasa_line(lo[3:7], 4) + '                   4'
+    return '\n'.join([line1, line2, line3, line4])
+
+
+def synthetic_mechanism(n_species: int = 9, n_reactions: int = 24,
+                        seed: int = 0, all_features: bool = True) -> str:
+    """Return Chemkin mechanism text with the requested size.
+
+    When ``all_features`` is set, the first ~10 reactions cycle through
+    every special category; the rest are random elementary/third-body/
+    falloff reactions.
+    """
+    rng = np.random.default_rng(seed)
+    assert n_species >= 5
+
+    elems = ['H', 'O', 'N', 'C'][: max(2, min(4, n_species // 2))]
+    names = ['SP{}'.format(k) for k in range(n_species - 1)] + ['N2']
+
+    out = io.StringIO()
+    out.write('ELEMENTS\n' + ' '.join(elems) + '\nEND\n')
+    out.write('SPECIES\n' + ' '.join(names) + '\nEND\n')
+    out.write('THERMO ALL\n   300.000  1000.000  5000.000\n')
+    for k, nm in enumerate(names):
+        if nm == 'N2':
+            comp = [('N', 2)]
+        else:
+            comp = [(elems[k % len(elems)], 1 + k % 3),
+                    (elems[(k + 1) % len(elems)], 1)]
+        out.write(_species_thermo(nm, comp, rng) + '\n')
+    out.write('END\n')
+
+    def pick(n, exclude=()):
+        choices = [s for s in names[:-1] if s not in exclude]
+        return list(rng.choice(choices, size=n, replace=False))
+
+    def arr(order=2.0, scale=0.0):
+        # pre-exponential in mol/cm^3 units such that the converted rate
+        # constant is moderate for T in [800, 2500]
+        A = 10.0 ** rng.uniform(8, 14) * 10.0 ** scale
+        b = rng.uniform(-1.5, 2.0)
+        E = rng.uniform(0.0, 3e4)    # cal/mol
+        return A, b, E
+
+    lines: List[str] = []
+
+    def w(eq, A, b, E, extra: Optional[List[str]] = None):
+        lines.append('{:<40s}{:>10.3E}{:>9.3f}{:>12.2f}'.format(eq, A, b, E))
+        if extra:
+            lines.extend(extra)
+
+    count = 0
+    if all_features:
+        s = pick(6)
+        # 1: irreversible
+        A, b, E = arr()
+        w('{}+{}=>{}+{}'.format(*s[:4]), A, b, E)
+        # 2: explicit REV (splits into two irreversible)
+        A, b, E = arr()
+        w('{}+{}={}+{}'.format(*s[:4]), A, b, E,
+          ['REV / {:.3E} {:.3f} {:.1f} /'.format(*arr())])
+        # 3: plain third-body
+        A, b, E = arr(scale=-3)
+        w('{}+{}+M<=>{}+M'.format(*s[:3]), A, b, E,
+          ['{}/2.5/ {}/0.5/ {}/0.0/'.format(s[4], s[5], s[0])])
+        # 4: Lindemann falloff (+M)
+        A, b, E = arr()
+        w('{}+{}(+M)<=>{}(+M)'.format(*s[:3]), A, b, E,
+          ['LOW / {:.3E} {:.3f} {:.1f} /'.format(A * 1e3, b - 1.0, E / 2),
+           '{}/2.0/ {}/6.0/'.format(s[4], s[5])])
+        # 5: Troe falloff, 3-parameter
+        A, b, E = arr()
+        w('{}+{}(+M)<=>{}(+M)'.format(s[1], s[2], s[3]), A, b, E,
+          ['LOW / {:.3E} {:.3f} {:.1f} /'.format(A * 5e2, b - 0.8, E / 3),
+           'TROE / 0.62 98.0 1200.0 /'])
+        # 6: Troe falloff, 4-parameter, specific collider
+        A, b, E = arr()
+        w('{}+{}(+{})<=>{}(+{})'.format(s[0], s[2], s[4], s[3], s[4]),
+          A, b, E,
+          ['LOW / {:.3E} {:.3f} {:.1f} /'.format(A * 2e3, b - 1.2, E / 2),
+           'TROE / 0.7346 94.0 1756.0 5182.0 /'])
+        # 7: SRI falloff, 5-parameter
+        A, b, E = arr()
+        w('{}+{}(+M)<=>{}+{}(+M)'.format(s[2], s[3], s[0], s[1]), A, b, E,
+          ['LOW / {:.3E} {:.3f} {:.1f} /'.format(A * 1e3, b - 1.0, E / 2),
+           'SRI / 1.1 700.0 1200.0 1.05 0.1 /',
+           '{}/1.5/'.format(s[5])])
+        # 8: chemically activated (HIGH)
+        A, b, E = arr(scale=2)
+        w('{}+{}(+M)<=>{}+{}(+M)'.format(s[0], s[1], s[2], s[4]), A, b, E,
+          ['HIGH / {:.3E} {:.3f} {:.1f} /'.format(A / 1e4, b + 0.5, E / 2)])
+        # 9: PLOG
+        A, b, E = arr()
+        w('{}+{}<=>{}+{}'.format(s[3], s[4], s[1], s[5]), A, b, E,
+          ['PLOG / 0.1 {:.3E} {:.3f} {:.1f} /'.format(A / 10, b, E),
+           'PLOG / 1.0 {:.3E} {:.3f} {:.1f} /'.format(A, b, E * 0.9),
+           'PLOG / 10.0 {:.3E} {:.3f} {:.1f} /'.format(A * 5, b, E * 0.8)])
+        # 10: Chebyshev
+        cheb = rng.uniform(-0.1, 0.1, size=(4, 3))
+        cheb[0, 0] = rng.uniform(6.0, 8.0)   # log10 k scale (cm^3/mol)
+        rows = []
+        rows.append('PCHEB / 0.01 100.0 /')
+        rows.append('TCHEB / 500.0 3000.0 /')
+        rows.append('CHEB / 4 3 {} /'.format(
+            ' '.join('{:.4E}'.format(v) for v in cheb[0])))
+        for r in cheb[1:]:
+            rows.append('CHEB / {} /'.format(
+                ' '.join('{:.4E}'.format(v) for v in r)))
+        w('{}+{}<=>{}+{}'.format(s[5], s[0], s[2], s[1]), 1.0, 0.0, 0.0,
+          rows)
+        # 11: duplicate pair
+        A, b, E = arr()
+        w('{}+{}<=>{}+{}'.format(s[1], s[4], s[0], s[3]), A, b, E,
+          [' DUPLICATE'])
+        w('{}+{}<=>{}+{}'.format(s[1], s[4], s[0], s[3]), A / 7, b, E * 1.1,
+          [' DUPLICATE'])
+        # 12: non-integer stoichiometry
+        A, b, E = arr()
+        w('{}+0.5{}<=>{}'.format(s[0], s[1], s[2]), A, b, E)
+        count = 13
+
+    while count < n_reactions:
+        kind = rng.integers(0, 10)
+        s = pick(4)
+        A, b, E = arr()
+        if kind < 6:
+            nu = '2' if rng.random() < 0.2 else ''
+            w('{}{}+{}<=>{}+{}'.format(nu, *s[:4]), A, b, E)
+        elif kind < 8:
+            w('{}+{}+M<=>{}+M'.format(*s[:3]), A / 1e3, b, E,
+              ['{}/{:.2f}/ {}/{:.2f}/'.format(s[3], rng.uniform(0, 3),
+                                              s[0], rng.uniform(0, 3))])
+        else:
+            w('{}+{}(+M)<=>{}(+M)'.format(*s[:3]), A, b, E,
+              ['LOW / {:.3E} {:.3f} {:.1f} /'.format(A * 1e3, b - 1.0,
+                                                     E / 2),
+               'TROE / 0.6 150.0 1400.0 /'])
+        count += 1
+
+    out.write('REACTIONS\n')
+    out.write('\n'.join(lines))
+    out.write('\nEND\n')
+    return out.getvalue()
+
+
+def random_states(mech, n_states: int, seed: int = 0,
+                  T_range=(800.0, 2500.0), P_range=(0.5e5, 5e5)):
+    """Random thermochemical state batch for a mechanism.
+
+    Returns (y, T, P) with y = [T, Y_1..Y_{N-1}] and strictly positive
+    mass fractions summing to < 1.
+    """
+    rng = np.random.default_rng(seed)
+    N = mech.n_species
+    T = rng.uniform(*T_range, size=n_states)
+    P = rng.uniform(*P_range, size=n_states)
+    x = rng.dirichlet(np.full(N, 0.8), size=n_states)
+    # keep every species present at a floor so concentration powers and
+    # their derivatives stay well-defined
+    x = (x + 1e-6) / (1.0 + N * 1e-6)
+    y = np.concatenate([T[:, None], x[:, :-1]], axis=1)
+    return y, T, P
