@@ -1,0 +1,81 @@
+"""Headline benchmark: fused analytical Jacobian + dy/dt throughput.
+
+Mirrors the reference's performance tester metric (wall-clock for N
+eval_jacob evaluations, reference: pyjac/performance_tester/tester.c.in:
+23-31) on a GRI-3.0-sized mechanism (53 species / 325 reactions) in
+float64 (the parity precision, BASELINE.md), on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": evals/sec/chip, "unit": ..., "vs_baseline": x}
+vs_baseline is measured against the north-star target of 1e6
+Jacobian+dydt evals/sec/chip (BASELINE.json).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    jax.config.update('jax_enable_x64', True)
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _flagship_packed
+    from pyjac_tpu.ops.jacobian import jacobian_and_dydt
+    from pyjac_tpu.testers.synthetic import random_states
+
+    mech, packed = _flagship_packed()
+    dev = jax.devices()[0]
+    print('bench device: %s' % (dev,), file=sys.stderr)
+
+    chunk = 8192        # fits HBM at GRI scale in f64 with headroom
+    total = 65536
+    repeats = 3
+
+    y, _, P = random_states(mech, chunk, seed=1)
+    yj = jnp.asarray(y)
+    Pj = jnp.asarray(P)
+
+    @jax.jit
+    def step(pres, ystate):
+        J, f = jacobian_and_dydt(packed, 0.0, pres, ystate)
+        # tiny on-device checksums force full evaluation on sync without
+        # a bulk device->host transfer polluting the timing
+        return J, f, jnp.sum(J[..., 0, 0]) + jnp.sum(f[..., 0])
+
+    t0 = time.time()
+    _, _, chk = step(Pj, yj)
+    chk0 = float(chk)   # host sync (block_until_ready is unreliable on
+                        # the experimental axon platform)
+    print('compile+first run: %.1fs' % (time.time() - t0), file=sys.stderr)
+    if not np.isfinite(chk0):
+        raise SystemExit('non-finite benchmark output')
+
+    n_chunks = total // chunk
+    times = []
+    for _ in range(repeats):
+        t0 = time.time()
+        acc = 0.0
+        for _ in range(n_chunks):
+            _, _, chk = step(Pj, yj)
+            acc += float(chk)
+        times.append(time.time() - t0)
+    best = min(times)
+    evals_per_sec = total / best
+    print('times per %d-state pass: %s' %
+          (total, ['%.3f' % t for t in times]), file=sys.stderr)
+
+    target = 1.0e6      # BASELINE.json north star
+    print(json.dumps({
+        'metric': 'gri_scale_jacobian_dydt_throughput_f64',
+        'value': round(evals_per_sec, 1),
+        'unit': 'evals/sec/chip',
+        'vs_baseline': round(evals_per_sec / target, 4),
+    }))
+
+
+if __name__ == '__main__':
+    main()

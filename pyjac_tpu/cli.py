@@ -1,0 +1,144 @@
+"""Command-line interface.
+
+Mirrors the reference's CLI surface (reference: pyjac/utils.py:306-435,
+pyjac/__main__.py:7-26) mapped onto the TPU-native pipeline: instead of
+emitting C/CUDA source into ``build_path``, it packs the mechanism into
+constant tensors, writes the packed archive plus a JSON manifest (the
+``mechanism.h`` analog: NSP/NN/FWD_RATES/REV_RATES/PRES_MOD_RATES,
+species table, last-species pivot — mech_auxiliary.py:133-161), and can
+self-validate the analytical Jacobian against forward-mode AD.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def get_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog='pyjac_tpu',
+        description='pyjac_tpu: TPU-native analytical chemical Jacobians '
+                    '(JAX/XLA), a ground-up rebuild of pyJac.')
+    parser.add_argument('-l', '--lang', type=str, default='tpu',
+                        choices=['tpu', 'jax'],
+                        help='Target platform (kept for pyJac CLI parity; '
+                             'both values mean the JAX/XLA pipeline).')
+    parser.add_argument('-i', '--input', type=str, required=True,
+                        help='Input mechanism filename '
+                             '(.inp/.dat Chemkin or .cti Cantera).')
+    parser.add_argument('-t', '--thermo', type=str, default=None,
+                        help='Thermodynamic database filename, or nothing '
+                             'if contained in the mechanism file.')
+    parser.add_argument('-ic', '--initial-conditions', type=str,
+                        dest='initial_conditions', default='',
+                        help='Comma-separated initial conditions: '
+                             'T,P,Sp1=x1,... (T in K, P in atm, species '
+                             'in moles).')
+    parser.add_argument('-b', '--build_path', default='./out/',
+                        help='Output folder for the packed mechanism '
+                             'archive and manifest.')
+    parser.add_argument('-ls', '--last_species', type=str, default=None,
+                        help='Species eliminated by the 1-sum(Y) closure; '
+                             'defaults to the first of N2, AR, HE present.')
+    parser.add_argument('-sj', '--skip_jac', action='store_true',
+                        default=False,
+                        help='Skip the Jacobian self-validation step '
+                             '(rates only).')
+    parser.add_argument('--conv', action='store_true', default=False,
+                        help='Validate in constant-volume (CONV) mode '
+                             'instead of constant-pressure (CONP).')
+    parser.add_argument('--validate', action='store_true', default=False,
+                        help='Cross-check the closed-form Jacobian against '
+                             'forward-mode AD on sampled states.')
+    parser.add_argument('--states', type=int, default=16,
+                        help='Number of random states for --validate.')
+    return parser
+
+
+def main(argv=None) -> int:
+    args = get_parser().parse_args(argv)
+
+    from .core.mech import Mechanism
+    from .core.pack import pack, save_packed
+
+    mech = Mechanism.from_files(args.input, args.thermo,
+                                last_spec=args.last_species)
+    packed = pack(mech)
+
+    os.makedirs(args.build_path, exist_ok=True)
+    archive = os.path.join(args.build_path, 'mech_packed.npz')
+    save_packed(packed, archive)
+
+    manifest = {
+        'source': args.input,
+        'NSP': packed.n_species,
+        'NN': packed.n_species + 1,
+        'FWD_RATES': packed.n_reactions,
+        'REV_RATES': packed.n_rev,
+        'PRES_MOD_RATES': packed.n_pres_mod,
+        'last_species': mech.specs[-1].name,
+        'species': mech.species_names,
+        'fwd_spec_mapping': list(mech.fwd_spec_mapping),
+        'back_spec_mapping': list(mech.back_spec_mapping),
+        'features': {
+            'reversible': packed.has_rev,
+            'third_body': packed.has_thd_only,
+            'falloff': packed.has_falloff,
+            'chemically_activated': packed.has_chemact,
+            'troe': packed.has_troe,
+            'sri': packed.has_sri,
+            'plog': packed.has_plog,
+            'chebyshev': packed.has_cheb,
+        },
+    }
+    man_path = os.path.join(args.build_path, 'mechanism_info.json')
+    with open(man_path, 'w') as fh:
+        json.dump(manifest, fh, indent=2)
+
+    print('packed %d species / %d reactions (last species: %s)' %
+          (packed.n_species, packed.n_reactions, mech.specs[-1].name))
+    print('wrote %s and %s' % (archive, man_path))
+
+    if args.initial_conditions:
+        import numpy as np
+
+        from .utils import parse_initial_conditions, state_vector
+        T, P, Y = parse_initial_conditions(packed, args.initial_conditions)
+        y0 = state_vector(packed, np.asarray(T), Y)
+        np.save(os.path.join(args.build_path, 'initial_state.npy'),
+                np.concatenate([[P], y0]))
+        print('initial state: T=%.2f K, P=%.1f Pa -> initial_state.npy'
+              % (T, P))
+
+    if args.validate and not args.skip_jac:
+        import jax
+        jax.config.update('jax_enable_x64', True)
+        import jax.numpy as jnp
+        import numpy as np
+
+        from .ops.jacobian import eval_jacobian, jacobian_fwd
+        from .ops.thermo import eval_conc
+        from .testers.synthetic import random_states
+
+        y, T, P = random_states(mech, args.states, seed=0)
+        conp = not args.conv
+        if conp:
+            param = jnp.asarray(P)
+        else:
+            _, _, rho, _ = eval_conc(packed, jnp.asarray(T),
+                                     jnp.asarray(P), jnp.asarray(y[:, 1:]))
+            param = rho
+        J = eval_jacobian(packed, 0.0, param, jnp.asarray(y), conp=conp)
+        J_ref = jacobian_fwd(packed, 0.0, param, jnp.asarray(y), conp=conp)
+        scale = float(jnp.abs(J_ref).max()) + 1e-300
+        err = float(jnp.abs(J - J_ref).max()) / scale
+        print('jacobian self-validation (%s, %d states): '
+              'max scaled err %.3e' %
+              ('CONP' if conp else 'CONV', args.states, err))
+        if err > 1e-8:
+            print('VALIDATION FAILED', file=sys.stderr)
+            return 1
+    return 0

@@ -157,6 +157,37 @@ class PackedMechanism:
         return self.mech.species_names
 
 
+def save_packed(packed: PackedMechanism, path: str) -> None:
+    """Persist a packed mechanism (the analog of the reference's cached
+    build artifacts, e.g. cache_optimizer's optimized.pickle,
+    cache_optimizer.py:456-462)."""
+    import pickle
+    arrays = {}
+    scalars = {}
+    for field_ in packed.__dataclass_fields__:
+        val = getattr(packed, field_)
+        if isinstance(val, np.ndarray):
+            arrays[field_] = val
+        elif isinstance(val, (bool, int, float)):
+            scalars[field_] = val
+    np.savez_compressed(
+        path,
+        __mech__=np.frombuffer(pickle.dumps(packed.mech), dtype=np.uint8),
+        __scalars__=np.frombuffer(pickle.dumps(scalars), dtype=np.uint8),
+        **arrays)
+
+
+def load_packed(path: str) -> PackedMechanism:
+    """Load a mechanism packed by :func:`save_packed`."""
+    import pickle
+    with np.load(path, allow_pickle=False) as data:
+        mech = pickle.loads(data['__mech__'].tobytes())
+        scalars = pickle.loads(data['__scalars__'].tobytes())
+        arrays = {k: data[k] for k in data.files
+                  if k not in ('__mech__', '__scalars__')}
+    return PackedMechanism(mech=mech, **arrays, **scalars)
+
+
 def pack(mech: Mechanism) -> PackedMechanism:
     """Pack a mechanism into constant tensors (the 'codegen' step)."""
     specs, reacs = mech.specs, mech.reacs

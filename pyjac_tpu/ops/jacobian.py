@@ -209,11 +209,13 @@ def _scatter_slots(vals, sp_idx, R: int, N: int):
 # the Jacobian
 # ---------------------------------------------------------------------------
 
-def eval_jacobian(packed, t, param, y, conp: bool = True):
+def eval_jacobian(packed, t, param, y, conp: bool = True,
+                  return_dydt: bool = False):
     """Analytical Jacobian J[..., i, j] = d f_i / d y_j, shape (..., N, N).
 
     ``param`` is pressure [Pa] (conp=True) or density [kg/m^3]
-    (conp=False); ``y = [T, Y_1..Y_{N-1}]``.
+    (conp=False); ``y = [T, Y_1..Y_{N-1}]``.  With ``return_dydt`` the
+    state derivative (computed anyway) is returned alongside.
     """
     N = packed.n_species
     R = packed.n_reactions
@@ -532,7 +534,18 @@ def eval_jacobian(packed, t, param, y, conp: bool = True):
     top = jnp.concatenate([JTT[..., None, None], JTY[..., None, :]],
                           axis=-1)
     bottom = jnp.concatenate([JYT[..., :, None], JYY], axis=-1)
-    return jnp.concatenate([top, bottom], axis=-2)
+    J = jnp.concatenate([top, bottom], axis=-2)
+    if return_dydt:
+        f_state = jnp.concatenate([fT[..., None], fk[..., :-1]], axis=-1)
+        return J, f_state
+    return J
+
+
+def jacobian_and_dydt(packed, t, param, y, conp: bool = True):
+    """(J, dy/dt) in one fused evaluation — dy/dt falls out of the
+    Jacobian assembly for free (the reference's eval_jacob likewise
+    computes the rates internally, create_jacobian.py:2274-3277)."""
+    return eval_jacobian(packed, t, param, y, conp=conp, return_dydt=True)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,160 @@
+"""Multi-chip batch parallelism over a device mesh.
+
+The reference's only distribution axis is the thermochemical-state batch
+(OpenMP threads / one CUDA thread per state,
+reference: pyjac/performance_tester/tester.c.in:24-29,
+pyjac/pywrap/pyjacob.cu:14-35).  On TPU the same axis becomes a
+``jax.sharding.Mesh`` with a single ``'batch'`` axis: states are sharded
+over ICI, the kernels are embarrassingly parallel (no collectives in the
+hot path), and only harness-level reductions (error norms, throughput
+counters) cross chips.
+
+Per-chip HBM budgeting is handled by :class:`BatchEvaluator`'s chunking,
+the analog of the reference's GPU capacity loop
+(reference: pyjac/pywrap/pyjacob.cu:99-107, tester.cu.in:110-138).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.dydt import dydt as dydt_dispatch
+from ..ops.jacobian import eval_jacobian
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = 'batch') -> Mesh:
+    """A 1-D device mesh over the first ``n_devices`` devices."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (axis,))
+
+
+def batch_sharding(mesh: Mesh, axis: str = 'batch') -> NamedSharding:
+    """Shard the leading (state) dimension across the mesh."""
+    return NamedSharding(mesh, P(axis))
+
+
+def pad_batch(n: int, divisor: int) -> int:
+    """Round a batch size up to a multiple of ``divisor`` (the analog of
+    the reference's padding to CUDA block multiples, pyjacob.cu:104-121).
+    """
+    return ((n + divisor - 1) // divisor) * divisor
+
+
+class BatchEvaluator:
+    """Sharded, chunked evaluation of dydt / Jacobian over huge state
+    batches.
+
+    States are split into device-count-aligned chunks that fit per-chip
+    HBM, each chunk is dispatched with the batch axis sharded over the
+    mesh, and results are returned to host memory (suitable for parity
+    harnesses; production integrators keep everything device-resident).
+    """
+
+    def __init__(self, packed, mesh: Optional[Mesh] = None,
+                 conp: bool = True, chunk_size: Optional[int] = None):
+        self.packed = packed
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.conp = conp
+        self.n_devices = self.mesh.devices.size
+        if chunk_size is None:
+            chunk_size = self._default_chunk()
+        self.chunk_size = pad_batch(chunk_size, self.n_devices)
+        self._sharding = batch_sharding(self.mesh)
+
+        sh = self._sharding
+
+        @partial(jax.jit,
+                 in_shardings=(sh, NamedSharding(self.mesh, P())),
+                 out_shardings=sh)
+        def _dydt(y, param):
+            return dydt_dispatch(packed, 0.0, param, y, conp=conp)
+
+        @partial(jax.jit,
+                 in_shardings=(sh, NamedSharding(self.mesh, P())),
+                 out_shardings=(sh, sh))
+        def _jac(y, param):
+            return eval_jacobian(packed, 0.0, param, y, conp=conp,
+                                 return_dydt=True)
+
+        self._dydt = _dydt
+        self._jac = _jac
+
+    def _default_chunk(self) -> int:
+        """Size chunks so the dominant (chunk, R, N) f64 work tensors use
+        at most ~2 GB per chip (several live at once under fusion)."""
+        per_state = self.packed.n_reactions * self.packed.n_species * 8
+        per_chip = max(1, int(2e9 / max(per_state, 1)))
+        return min(per_chip, 32768) * max(self.n_devices, 1)
+
+    def _pad(self, y: np.ndarray):
+        n = y.shape[0]
+        padded = pad_batch(n, self.n_devices)
+        if padded != n:
+            y = np.concatenate([y, np.repeat(y[-1:], padded - n, axis=0)])
+        return y, n
+
+    def _chunks(self, n: int):
+        for start in range(0, n, self.chunk_size):
+            yield start, min(n, start + self.chunk_size)
+
+    def dydt(self, y, param):
+        """dy/dt over an arbitrarily large host batch."""
+        y = np.asarray(y)
+        param = np.broadcast_to(np.asarray(param), y.shape[:1])
+        out = np.empty_like(y)
+        ypad, n = self._pad(y)
+        ppad = np.broadcast_to(param[:1], (ypad.shape[0],)) if \
+            param.ndim == 0 else np.concatenate(
+                [param, np.repeat(param[-1:], ypad.shape[0] - n)])
+        for s, e in self._chunks(ypad.shape[0]):
+            res = self._dydt(jnp.asarray(ypad[s:e]), jnp.asarray(ppad[s:e]))
+            lo = min(e, n)
+            if s < n:
+                out[s:lo] = np.asarray(res)[:lo - s]
+        return out
+
+    def jacobian(self, y, param):
+        """(J, dy/dt) over an arbitrarily large host batch."""
+        y = np.asarray(y)
+        N = y.shape[-1]
+        param = np.broadcast_to(np.asarray(param), y.shape[:1])
+        J_out = np.empty(y.shape[:1] + (N, N), dtype=y.dtype)
+        f_out = np.empty_like(y)
+        ypad, n = self._pad(y)
+        ppad = np.concatenate([param, np.repeat(param[-1:],
+                                                ypad.shape[0] - n)])
+        for s, e in self._chunks(ypad.shape[0]):
+            J, f = self._jac(jnp.asarray(ypad[s:e]), jnp.asarray(ppad[s:e]))
+            lo = min(e, n)
+            if s < n:
+                J_out[s:lo] = np.asarray(J)[:lo - s]
+                f_out[s:lo] = np.asarray(f)[:lo - s]
+        return J_out, f_out
+
+
+def sharded_step(packed, mesh: Mesh, conp: bool = True):
+    """A jitted 'full step' over the mesh: sharded Jacobian + dydt plus a
+    cross-chip error-norm reduction (the collective the parity/bench
+    harness needs).  Used by the multi-chip dry run."""
+    sh = batch_sharding(mesh)
+    rep = NamedSharding(mesh, P())
+
+    @partial(jax.jit, in_shardings=(sh, rep),
+             out_shardings=(sh, sh, rep))
+    def step(y, param):
+        J, f = eval_jacobian(packed, 0.0, param, y, conp=conp,
+                             return_dydt=True)
+        # global reductions ride the ICI (psum/all-reduce inserted by XLA)
+        norm = jnp.max(jnp.abs(J)) + jnp.max(jnp.abs(f))
+        return J, f, norm
+
+    return step

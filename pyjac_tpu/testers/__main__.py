@@ -1,0 +1,70 @@
+"""``python -m pyjac_tpu.testers`` — functional (parity) tester CLI
+(reference parity: pyjac/functional_tester/__main__.py)."""
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        prog='pyjac_tpu.testers',
+        description='Functional parity tester: evaluates all kernels over '
+                    'sampled states and compares against the NumPy / '
+                    'forward-AD / finite-difference oracles.')
+    parser.add_argument('-i', '--input', required=True,
+                        help='Mechanism file (.inp/.dat/.cti).')
+    parser.add_argument('-t', '--thermo', default=None)
+    parser.add_argument('-ls', '--last_species', default=None)
+    parser.add_argument('-d', '--data', default=None,
+                        help='PaSR state data .npy '
+                             '([.., (t, T, P, Y...)]); random states '
+                             'are generated if omitted.')
+    parser.add_argument('-n', '--num_states', type=int, default=32)
+    parser.add_argument('--conv', action='store_true', default=False)
+    parser.add_argument('-o', '--out', default='error_arrays.npz')
+    parser.add_argument('--fail-above', type=float, default=1e-8,
+                        dest='fail_above',
+                        help='Exit non-zero if the thresholded Jacobian '
+                             'max relative error exceeds this.')
+    args = parser.parse_args(argv)
+
+    import jax
+    jax.config.update('jax_enable_x64', True)
+
+    from ..core.mech import Mechanism
+    from ..core.pack import pack
+    from .functional import run_functional_test
+    from .synthetic import random_states
+
+    mech = Mechanism.from_files(args.input, args.thermo,
+                                last_spec=args.last_species)
+    packed = pack(mech)
+
+    if args.data:
+        states = np.load(args.data)
+        states = states.reshape(-1, states.shape[-1])
+    else:
+        y, T, P = random_states(mech, args.num_states, seed=0)
+        Y_full = np.concatenate(
+            [y[:, 1:], (1.0 - y[:, 1:].sum(1))[:, None]], axis=1)
+        back = np.asarray(mech.back_spec_mapping)
+        states = np.concatenate(
+            [np.zeros((len(T), 1)), T[:, None], P[:, None],
+             Y_full[:, back]], axis=1)
+
+    err = run_functional_test(mech, packed, states, conp=not args.conv,
+                              num_states=args.num_states,
+                              out_file=args.out)
+    worst = err['err_jac_thr_max'].max()
+    if worst > args.fail_above:
+        print('FAIL: thresholded Jacobian error %.3e > %.1e' %
+              (worst, args.fail_above), file=sys.stderr)
+        return 1
+    print('PASS: worst thresholded Jacobian error %.3e' % worst)
+    return 0
+
+
+if __name__ == '__main__':
+    sys.exit(main())

@@ -11,7 +11,9 @@ fixture — whose reactions are only elementary/third-body/Troe — and
 (b) size-scaled benchmark mechanisms (e.g. GRI-3.0-sized: 53 species /
 325 reactions) when the real mechanism file is not available.
 Rates are tuned so states around T in [800, 2500] K neither overflow
-nor vanish.
+nor vanish — including on TPU, whose float64 is emulated as a
+float32 pair (~2^-48 precision but float32 exponent range ~1e38):
+all intermediates (Kc, kr, Jacobian entries) must stay below ~1e30.
 """
 
 from __future__ import annotations
@@ -34,8 +36,8 @@ def _species_thermo(name: str, elems, rng) -> str:
     a2 = rng.uniform(-2e-6, 2e-6)
     a3 = rng.uniform(-1e-9, 1e-9)
     a4 = rng.uniform(-1e-13, 1e-13)
-    a5 = rng.uniform(-4e3, 4e3)
-    a6 = rng.uniform(-5.0, 15.0)
+    a5 = rng.uniform(-1.5e3, 1.5e3)
+    a6 = rng.uniform(-3.0, 8.0)
     lo = [a0, a1, a2, a3, a4, a5, a6]
     # high range: same value-ish family, different coefficients
     hi = [a0 + rng.uniform(-0.5, 0.5), a1 * rng.uniform(0.3, 0.9),
@@ -87,7 +89,7 @@ def synthetic_mechanism(n_species: int = 9, n_reactions: int = 24,
     def arr(order=2.0, scale=0.0):
         # pre-exponential in mol/cm^3 units such that the converted rate
         # constant is moderate for T in [800, 2500]
-        A = 10.0 ** rng.uniform(8, 14) * 10.0 ** scale
+        A = 10.0 ** rng.uniform(7, 12) * 10.0 ** scale
         b = rng.uniform(-1.5, 2.0)
         E = rng.uniform(0.0, 3e4)    # cal/mol
         return A, b, E
