@@ -1,0 +1,243 @@
+"""Performance test harness.
+
+Rebuild of the reference's performance tester
+(reference: pyjac/performance_tester/performance_tester.py:213-508):
+
+* walks a work directory for mechanism folders containing a mechanism
+  file plus PaSR state data (``*.npy``) (reference :241-256),
+* packs the state data into a raw-double ``data.bin``
+  (reference :316-338) — read back through the native C loader in
+  :mod:`pyjac_tpu.runtime` when available,
+* sweeps an option matrix — Jacobian method {analytical, AD, finite
+  difference} x precision {f64, f32} x state count (powers of two up to
+  the dataset size, reference :341-347),
+* appends ``num_odes,runtime_ms`` lines to per-configuration output
+  files, with the reference's resume-by-line-count semantics
+  (reference :71-142),
+* repeats each configuration (default 10, reference :269-270).
+
+The measured quantity matches the reference drivers: wall-clock for N
+fused Jacobian(+dydt) evaluations with a host synchronisation at the end
+(reference: tester.c.in:23-31, tester.cu.in:109-156).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+MECH_EXTS = ('.cti', '.inp', '.dat')
+
+
+@dataclass
+class PerfConfig:
+    mech_name: str
+    method: str       # 'ajac' | 'ad' | 'fd'
+    dtype: str        # 'f64' | 'f32'
+    num_states: int
+    repeats: int = 10
+
+    @property
+    def filename(self) -> str:
+        return '{}_{}_{}_output.txt'.format(self.mech_name, self.method,
+                                            self.dtype)
+
+
+def find_mechanisms(work_dir: str):
+    """Yield (name, mech_path, thermo_path_or_None, data_path) per
+    mechanism subfolder (reference :241-256)."""
+    for entry in sorted(os.listdir(work_dir)):
+        sub = os.path.join(work_dir, entry)
+        if not os.path.isdir(sub):
+            continue
+        mech = None
+        thermo = None
+        data = None
+        for fn in sorted(os.listdir(sub)):
+            low = fn.lower()
+            if low.endswith('.cti'):
+                mech = os.path.join(sub, fn)
+            elif low.endswith(('.inp', '.dat')) and mech is None:
+                if 'therm' in low:
+                    thermo = os.path.join(sub, fn)
+                else:
+                    mech = os.path.join(sub, fn)
+            elif 'therm' in low and low.endswith(('.dat', '.inp')):
+                thermo = os.path.join(sub, fn)
+            elif low.endswith('.npy'):
+                data = os.path.join(sub, fn)
+        if mech and data:
+            yield entry, mech, thermo, data
+
+
+def pack_data_bin(npy_path: str, out_path: str) -> int:
+    """PaSR .npy -> raw little-endian doubles 'data.bin', rows of
+    (t, T, P, Y...) (reference :316-338). Returns the row count."""
+    data = np.load(npy_path)
+    data = data.reshape(-1, data.shape[-1]).astype('<f8')
+    data.tofile(out_path)
+    return data.shape[0]
+
+
+def check_step_file(path: str, repeats: int) -> dict:
+    """Parse an existing output file into {num_odes: runs_completed}
+    (reference's resume logic, :71-109)."""
+    done = {}
+    if not os.path.exists(path):
+        return done
+    with open(path) as fh:
+        for line in fh:
+            parts = line.strip().split(',')
+            if len(parts) != 2:
+                continue
+            try:
+                n = int(parts[0])
+                float(parts[1])
+            except ValueError:
+                continue
+            done[n] = done.get(n, 0) + 1
+    return done
+
+
+def step_sizes(total: int, minimum: int = 256) -> List[int]:
+    """Powers of two up to the dataset size (reference :341-347)."""
+    steps = []
+    n = minimum
+    while n < total:
+        steps.append(n)
+        n *= 2
+    steps.append(total)
+    return steps
+
+
+def _timed_eval(packed, method: str, y: np.ndarray, P: np.ndarray,
+                dtype: str) -> float:
+    """One timed pass over the batch; returns wall ms."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.jacobian import (eval_jacobian, jacobian_and_dydt,
+                                jacobian_fwd)
+    from .functional import fd_jacobian
+
+    jdt = jnp.float64 if (dtype == 'f64' and
+                          jax.config.jax_enable_x64) else jnp.float32
+    yj = jnp.asarray(y, dtype=jdt)
+    Pj = jnp.asarray(P, dtype=jdt)
+
+    if method == 'ajac':
+        fn = jax.jit(lambda p, yy: _checksum(
+            jacobian_and_dydt(packed, 0.0, p, yy)))
+    elif method == 'ad':
+        fn = jax.jit(lambda p, yy: _checksum(
+            (jacobian_fwd(packed, 0.0, p, yy),)))
+    elif method == 'fd':
+        t0 = time.perf_counter()
+        fd_jacobian(packed, 0.0, P, y, order=1)
+        return (time.perf_counter() - t0) * 1e3
+    else:
+        raise ValueError(method)
+
+    chk = float(fn(Pj, yj))          # compile + warm
+    t0 = time.perf_counter()
+    chk = float(fn(Pj, yj))          # host sync via scalar transfer
+    return (time.perf_counter() - t0) * 1e3
+
+
+def _checksum(arrays):
+    import jax.numpy as jnp
+    total = 0.0
+    for a in arrays:
+        total = total + jnp.sum(a.ravel()[:: max(1, a.size // 16)])
+    return total
+
+
+def performance_tester(work_dir: str, methods: Sequence[str] = ('ajac',),
+                       dtypes: Sequence[str] = ('f64',),
+                       repeats: int = 10,
+                       steps: Optional[Sequence[int]] = None,
+                       verbose: bool = True) -> None:
+    """Run the sweep; resume-able (reference :213-508)."""
+    import jax
+    jax.config.update('jax_enable_x64', True)
+
+    from ..core.mech import Mechanism
+    from ..core.pack import pack
+
+    out_dir = os.path.join(work_dir, 'output')
+    os.makedirs(out_dir, exist_ok=True)
+
+    for name, mech_path, thermo_path, data_path in \
+            find_mechanisms(work_dir):
+        mech = Mechanism.from_files(mech_path, thermo_path)
+        packed = pack(mech)
+
+        data = np.load(data_path)
+        data = data.reshape(-1, data.shape[-1])
+        pack_data_bin(data_path, os.path.join(work_dir, name, 'data.bin'))
+        T = data[:, 1]
+        P = data[:, 2]
+        Y = data[:, 3:][:, mech.fwd_spec_mapping]
+        y_all = np.concatenate([T[:, None], Y[:, :-1]], axis=1)
+
+        sizes = list(steps) if steps else step_sizes(len(y_all))
+        for method in methods:
+            for dtype in dtypes:
+                cfg = PerfConfig(name, method, dtype, 0, repeats)
+                out_path = os.path.join(out_dir, cfg.filename)
+                done = check_step_file(out_path, repeats)
+                with open(out_path, 'a') as fh:
+                    for n in sizes:
+                        todo = repeats - done.get(n, 0)
+                        if todo <= 0:
+                            if verbose:
+                                print('skip (resume): %s n=%d' %
+                                      (cfg.filename, n))
+                            continue
+                        reps = np.tile(y_all,
+                                       (int(np.ceil(n / len(y_all))), 1))
+                        yb = reps[:n]
+                        Pb = np.tile(P, int(np.ceil(n / len(P))))[:n]
+                        for _ in range(todo):
+                            ms = _timed_eval(packed, method, yb, Pb,
+                                             dtype)
+                            fh.write('{},{}\n'.format(n, ms))
+                            fh.flush()
+                            if verbose:
+                                print('%s: %d odes  %.3f ms  '
+                                      '(%.0f evals/s)' %
+                                      (cfg.filename, n, ms,
+                                       n / ms * 1e3))
+
+
+def main(argv=None) -> int:
+    """``python -m pyjac_tpu.testers.performance``
+    (reference parity: pyjac/performance_tester/__main__.py:7-28)."""
+    import argparse
+    parser = argparse.ArgumentParser(
+        prog='pyjac_tpu.testers.performance',
+        description='Performance sweep over mechanism folders in a work '
+                    'directory (resume-able).')
+    parser.add_argument('-w', '--working_dir', required=True,
+                        help='Directory with per-mechanism subfolders '
+                             '(mechanism file + PaSR .npy).')
+    parser.add_argument('-m', '--methods', nargs='+',
+                        default=['ajac'], choices=['ajac', 'ad', 'fd'])
+    parser.add_argument('-p', '--precisions', nargs='+',
+                        default=['f64'], choices=['f64', 'f32'])
+    parser.add_argument('-r', '--repeats', type=int, default=10)
+    parser.add_argument('-s', '--steps', type=int, nargs='*', default=None)
+    args = parser.parse_args(argv)
+    performance_tester(args.working_dir, methods=args.methods,
+                       dtypes=args.precisions, repeats=args.repeats,
+                       steps=args.steps)
+    return 0
+
+
+if __name__ == '__main__':
+    import sys
+    sys.exit(main())

@@ -1,0 +1,108 @@
+"""Tests for the performance tester and PaSR harnesses."""
+
+import os
+
+import numpy as np
+import pytest
+
+from pyjac_tpu.testers import pasr
+from pyjac_tpu.testers.functional import fd_jacobian
+from pyjac_tpu.testers.performance import (check_step_file,
+                                           find_mechanisms, pack_data_bin,
+                                           performance_tester, step_sizes)
+
+
+def test_step_sizes():
+    assert step_sizes(1020, minimum=256) == [256, 512, 1020]
+    assert step_sizes(256, minimum=256) == [256]
+
+
+def test_pack_data_bin(tmp_path, pasr_states):
+    src = tmp_path / 'states.npy'
+    np.save(src, pasr_states[:7])
+    out = tmp_path / 'data.bin'
+    n = pack_data_bin(str(src), str(out))
+    assert n == 7
+    raw = np.fromfile(out, dtype='<f8').reshape(7, -1)
+    np.testing.assert_array_equal(raw, pasr_states[:7])
+
+
+def test_check_step_file(tmp_path):
+    p = tmp_path / 'out.txt'
+    p.write_text('256,1.5\n256,1.6\n512,3.0\njunk\n')
+    done = check_step_file(str(p), repeats=10)
+    assert done == {256: 2, 512: 1}
+
+
+def test_performance_tester_end_to_end(tmp_path, h2o2_cti, pasr_states):
+    """Full sweep on a tiny work dir, then resume skips everything."""
+    work = tmp_path / 'work'
+    sub = work / 'h2o2'
+    os.makedirs(sub)
+    import shutil
+    shutil.copy(h2o2_cti, sub / 'h2o2.cti')
+    np.save(sub / 'states.npy', pasr_states[:64])
+
+    found = list(find_mechanisms(str(work)))
+    assert len(found) == 1 and found[0][0] == 'h2o2'
+
+    performance_tester(str(work), methods=['ajac'], dtypes=['f64'],
+                       repeats=2, steps=[16, 32], verbose=False)
+    out = work / 'output' / 'h2o2_ajac_f64_output.txt'
+    lines = out.read_text().strip().splitlines()
+    assert len(lines) == 4          # 2 sizes x 2 repeats
+    assert (sub / 'data.bin').exists()
+    ns = sorted(set(int(l.split(',')[0]) for l in lines))
+    assert ns == [16, 32]
+    for line in lines:
+        assert float(line.split(',')[1]) > 0
+
+    # resume: no new lines appended
+    performance_tester(str(work), methods=['ajac'], dtypes=['f64'],
+                       repeats=2, steps=[16, 32], verbose=False)
+    assert len(out.read_text().strip().splitlines()) == 4
+
+
+def test_fd_jacobian_orders(h2o2_packed, h2o2_states):
+    """Higher-order FD converges toward the analytical Jacobian."""
+    import jax.numpy as jnp
+
+    from pyjac_tpu.ops.jacobian import eval_jacobian
+    st = h2o2_states
+    y = st['y'][100:104]
+    P = st['P'][100:104]
+    J = np.asarray(eval_jacobian(h2o2_packed, 0.0, jnp.asarray(P),
+                                 jnp.asarray(y)))
+    err = {}
+    for order in (1, 6):
+        J_fd = fd_jacobian(h2o2_packed, 0.0, P, y, order=order)
+        err[order] = (np.linalg.norm(J - J_fd) / np.linalg.norm(J))
+    assert err[6] < err[1]
+    assert err[6] < 1e-5
+
+
+def test_equivalence_ratio(h2o2_mech):
+    X = pasr.equivalence_ratio_reactants(h2o2_mech, 1.0, {'H2': 1.0},
+                                         {'O2': 1.0, 'N2': 3.76})
+    names = h2o2_mech.species_names
+    # stoichiometric H2/air: H2:1, O2:0.5, N2:1.88 -> normalize
+    total = 1.0 + 0.5 + 1.88
+    assert X[names.index('H2')] == pytest.approx(1.0 / total)
+    assert X[names.index('O2')] == pytest.approx(0.5 / total)
+    assert X[names.index('N2')] == pytest.approx(1.88 / total)
+
+
+@pytest.mark.slow
+def test_pasr_smoke(h2o2_mech):
+    """Short PaSR run: shapes, invariants, and a hot pilot."""
+    data = pasr.run_simulation(
+        h2o2_mech, 'premixed', 300.0, 1.0, 1.0, {'H2': 1.0},
+        {'O2': 1.0, 'N2': 3.76}, num_part=4, tau_res=1e-3, tau_mix=5e-4,
+        tau_pair=1e-3, num_res=1, seed=0, verbose=False)
+    n_steps, n_part, width = data.shape
+    assert n_part == 4 and width == 3 + h2o2_mech.n_species
+    # adiabatic flame temperature of stoich H2/air ~ 2390 K
+    assert 2300 < data[0, :, 1].max() < 2450
+    np.testing.assert_allclose(data[:, :, 3:].sum(-1), 1.0, atol=1e-10)
+    assert data[:, :, 3:].min() >= -1e-12
+    assert np.allclose(data[:, :, 2], 101325.0)
