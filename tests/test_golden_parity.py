@@ -1,0 +1,96 @@
+"""Parity against the reference implementation's own generated C code.
+
+``tests/data/golden_h2o2_refc.npz`` holds outputs of pyJac v1.0.6's
+generated C (compiled with gcc -O2, driven over PaSR fixture states with
+the inert N2 mass lumped into inert AR so the 9-species .inp mechanism
+applies) for every intermediate: conc, fwd/rev rates, pres_mod, species
+rates, dydt, and the analytical Jacobian in the reference's
+column-major ``jac[i + NSP*j]`` layout.
+
+This is the BASELINE.md accuracy bar: max (thresholded) relative error
+vs the reference CPU <= 1e-8.
+"""
+
+import pathlib
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pyjac_tpu.core.mech import Mechanism
+from pyjac_tpu.core.pack import pack
+from pyjac_tpu.ops import rates, thermo
+from pyjac_tpu.ops.dydt import dydt_conp
+from pyjac_tpu.ops.jacobian import eval_jacobian
+
+GOLDEN = pathlib.Path(__file__).parent / 'data' / 'golden_h2o2_refc.npz'
+
+
+@pytest.fixture(scope='module')
+def golden():
+    return np.load(GOLDEN)
+
+
+@pytest.fixture(scope='module')
+def evaluated(golden, h2o2_inp):
+    mech = Mechanism.from_files(h2o2_inp)
+    packed = pack(mech)
+    assert mech.specs[-1].name == 'AR'
+    T = jnp.asarray(golden['T'])
+    P = jnp.asarray(golden['P'])
+    y = jnp.asarray(golden['y'])
+    _, _, _, conc = thermo.eval_conc(packed, T, P, y[:, 1:])
+    fwd, rev = rates.eval_rxn_rates(packed, T, P, conc)
+    pm = rates.get_rxn_pres_mod(packed, T, P, conc)
+    w = rates.eval_spec_rates(packed, fwd, rev, pm)
+    f = dydt_conp(packed, 0.0, P, y)
+    J = eval_jacobian(packed, 0.0, P, y)
+    n = len(golden['T'])
+    return packed, {
+        'conc': np.asarray(conc),
+        'fwd': np.asarray(fwd),
+        'rev': np.asarray(rates.compact_rev(packed, rev)),
+        'pres_mod': np.asarray(rates.compact_pres_mod(packed, pm)),
+        'spec_rates': np.asarray(w),
+        'dydt': np.asarray(f),
+        # reference layout: jac[i + NSP*j] = df_i/dy_j (column-major)
+        'jac': np.asarray(J).transpose(0, 2, 1).reshape(n, -1),
+    }
+
+
+def _max_rel(test, ref, floor_frac):
+    denom = np.maximum(np.abs(ref),
+                       np.abs(ref).max(axis=-1, keepdims=True) *
+                       floor_frac + 1e-300)
+    return float((np.abs(test - ref) / denom).max())
+
+
+@pytest.mark.parametrize('key,tol,floor', [
+    ('conc', 1e-13, 1e-12),
+    ('fwd', 1e-13, 1e-12),
+    ('rev', 1e-12, 1e-12),
+    ('pres_mod', 1e-13, 1e-12),
+    # net rates cancel near equilibrium: the achievable agreement is
+    # roundoff relative to the *gross* fluxes (the summation order
+    # differs: the reference accumulates signed scalar terms, we matmul)
+    ('spec_rates', 1e-7, 1e-6),
+    ('dydt', 1e-8, 1e-6),
+    ('jac', 1e-8, 1e-10),
+])
+def test_golden_parity(evaluated, golden, key, tol, floor):
+    _, test = evaluated
+    err = _max_rel(test[key], golden['ref_' + key], floor)
+    assert err < tol, '%s: max thresholded rel err %.3e' % (key, err)
+
+
+def test_jacobian_meets_baseline_bar(evaluated, golden):
+    """BASELINE.md: max rel err <= 1e-8 vs reference CPU (thresholded
+    like the reference's own metric)."""
+    _, test = evaluated
+    ref = golden['ref_jac']
+    # reference threshold: |entry| > ||J|| / 1e20 (test.py:1456-1460)
+    norms = np.linalg.norm(ref, axis=-1, keepdims=True)
+    mask = np.abs(ref) > norms / 1e20
+    rel = np.abs(test['jac'] - ref) / np.where(mask, np.abs(ref), 1.0)
+    err = float((rel * mask).max())
+    assert err < 1e-8, 'thresholded Jacobian error %.3e' % err
