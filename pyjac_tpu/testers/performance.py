@@ -76,10 +76,12 @@ def find_mechanisms(work_dir: str):
 
 def pack_data_bin(npy_path: str, out_path: str) -> int:
     """PaSR .npy -> raw little-endian doubles 'data.bin', rows of
-    (t, T, P, Y...) (reference :316-338). Returns the row count."""
+    (t, T, P, Y...) (reference :316-338), written through the native
+    runtime. Returns the row count."""
+    from ..runtime import stateio
     data = np.load(npy_path)
-    data = data.reshape(-1, data.shape[-1]).astype('<f8')
-    data.tofile(out_path)
+    data = data.reshape(-1, data.shape[-1])
+    stateio.save_raw(out_path, data)
     return data.shape[0]
 
 
@@ -176,13 +178,13 @@ def performance_tester(work_dir: str, methods: Sequence[str] = ('ajac',),
         mech = Mechanism.from_files(mech_path, thermo_path)
         packed = pack(mech)
 
-        data = np.load(data_path)
-        data = data.reshape(-1, data.shape[-1])
-        pack_data_bin(data_path, os.path.join(work_dir, name, 'data.bin'))
-        T = data[:, 1]
-        P = data[:, 2]
-        Y = data[:, 3:][:, mech.fwd_spec_mapping]
-        y_all = np.concatenate([T[:, None], Y[:, :-1]], axis=1)
+        bin_path = os.path.join(work_dir, name, 'data.bin')
+        pack_data_bin(data_path, bin_path)
+        # load + pivot through the native runtime (read_initial_conditions
+        # analog)
+        from ..runtime import stateio
+        raw = stateio.load_raw(bin_path, 3 + packed.n_species)
+        y_all, P, _ = stateio.build_states(raw, mech.fwd_spec_mapping)
 
         sizes = list(steps) if steps else step_sizes(len(y_all))
         for method in methods:
