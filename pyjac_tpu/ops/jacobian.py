@@ -196,13 +196,26 @@ def _product_and_slot_derivs(packed, conc, sp_idx, nu):
 
 
 def _scatter_slots(vals, sp_idx, R: int, N: int):
-    """Scatter (..., R, S) slot values into a dense (..., R, N) matrix
-    with static indices."""
-    flat_idx = (np.arange(R)[:, None] * N + np.asarray(sp_idx)).ravel()
+    """Accumulate (..., R, S) slot values into a dense (..., R, N)
+    matrix via static one-hot masks.
+
+    TPU scatters serialise badly; expressing the (static-index) scatter
+    as sum_s vals[..., s, None] * onehot_s lets XLA fuse it into one
+    vectorised pass over the output.
+    """
+    sp_idx = np.asarray(sp_idx)
+    S = sp_idx.shape[1]
     lead = vals.shape[:-2]
-    out = jnp.zeros(lead + (R * N,), dtype=vals.dtype)
-    out = out.at[..., flat_idx].add(vals.reshape(lead + (-1,)))
-    return out.reshape(lead + (R, N))
+    out = None
+    rows = np.arange(R)
+    for s in range(S):
+        onehot = np.zeros((R, N), dtype=np.float64)
+        onehot[rows, sp_idx[:, s]] = 1.0
+        term = vals[..., s, None] * f(onehot)
+        out = term if out is None else out + term
+    if out is None:
+        out = jnp.zeros(lead + (R, N), dtype=vals.dtype)
+    return out
 
 
 # ---------------------------------------------------------------------------
