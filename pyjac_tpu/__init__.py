@@ -22,6 +22,7 @@ docstrings throughout cite the corresponding reference files/lines.
 """
 
 from .core.chemkin import MechanismError, read_mech, read_thermo
+from .integrate import IntegrateResult, ignition_delay, integrate
 from .core.cti import read_mech_cti
 from .core.ir import Reaction, Species
 from .core.mech import Mechanism, get_species_mappings
@@ -43,7 +44,8 @@ __all__ = [
     'dydt_conv', 'eval_conc', 'eval_conc_rho', 'eval_cp', 'eval_cv',
     'eval_h', 'eval_jacobian', 'eval_kc', 'eval_kf', 'eval_rxn_rates',
     'eval_smh', 'eval_spec_rates', 'eval_u', 'get_rxn_pres_mod',
-    'get_species_mappings', 'jacobian_fwd', 'jacobian_vector_product',
+    'get_species_mappings', 'ignition_delay', 'integrate',
+    'jacobian_fwd', 'jacobian_vector_product',
     'pack', 'rates_of_progress', 'read_mech', 'read_mech_cti',
     'read_thermo', 'split_state', 'third_body_concentrations',
 ]

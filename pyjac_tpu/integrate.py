@@ -1,0 +1,171 @@
+"""Batched stiff ODE integration on-device, using the analytical Jacobian.
+
+The reference generates Jacobian code *for* external implicit
+integrators (its companion project accelerInt); the TPU rebuild closes
+the loop natively: a Rosenbrock(2,3) solver (the ode23s linearly
+implicit method of Shampine & Reichelt 1997) runs entirely inside one
+``jax.jit`` program — per-state adaptive time stepping via
+``lax.while_loop`` with acceptance masks, dense batched LU solves on the
+(B, N, N) iteration matrix, and the framework's closed-form Jacobian —
+so a million thermochemical states integrate in parallel across a TPU
+mesh with no host round-trips.
+
+This is the TPU-idiomatic equivalent of one-CUDA-thread-per-ODE
+integration, with the linear algebra on the MXU instead of per-thread
+scalar code.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .ops.dydt import dydt as dydt_dispatch
+from .ops.jacobian import eval_jacobian
+
+_D = 1.0 / (2.0 + math.sqrt(2.0))
+_E32 = 6.0 + math.sqrt(2.0)
+
+
+class IntegrateResult(NamedTuple):
+    y: jnp.ndarray          # (B, N) final states
+    t: jnp.ndarray          # (B,) final times (== t_end on success)
+    steps: jnp.ndarray      # (B,) accepted steps
+    rejected: jnp.ndarray   # (B,) rejected steps
+    success: jnp.ndarray    # (B,) bool
+
+
+def integrate(packed, y0, param, t_end, conp: bool = True,
+              rtol: float = 1e-6, atol: float = 1e-10,
+              max_steps: int = 100000, first_step: Optional[float] = None):
+    """Integrate dy/dt from 0 to ``t_end`` for a batch of states.
+
+    Parameters mirror the physics kernels: ``y0`` is (B, N) states
+    ``[T, Y_1..Y_{N-1}]``, ``param`` is pressure (CONP) or density
+    (CONV) per state, ``t_end`` a scalar or per-state array. Entirely
+    jittable; every state adapts its own step size.
+    """
+    y0 = jnp.asarray(y0)
+    B, N = y0.shape
+    param = jnp.broadcast_to(jnp.asarray(param, dtype=y0.dtype), (B,))
+    t_end = jnp.broadcast_to(jnp.asarray(t_end, dtype=y0.dtype), (B,))
+
+    def f(y):
+        return dydt_dispatch(packed, 0.0, param, y, conp=conp)
+
+    def jac(y):
+        return eval_jacobian(packed, 0.0, param, y, conp=conp)
+
+    if first_step is None:
+        h0 = t_end * 1e-6
+    else:
+        h0 = jnp.full((B,), first_step, dtype=y0.dtype)
+
+    eye = jnp.eye(N, dtype=y0.dtype)
+
+    class Carry(NamedTuple):
+        y: jnp.ndarray
+        t: jnp.ndarray
+        h: jnp.ndarray
+        steps: jnp.ndarray
+        rejected: jnp.ndarray
+        failed: jnp.ndarray
+        iters: jnp.ndarray
+
+    def cond(c: Carry):
+        active = (c.t < t_end) & ~c.failed
+        return jnp.any(active) & (c.iters < max_steps)
+
+    def body(c: Carry):
+        active = (c.t < t_end) & ~c.failed
+        h = jnp.minimum(c.h, t_end - c.t)
+        h = jnp.where(active, h, 1.0)          # benign value on done rows
+
+        F0 = f(c.y)
+        J = jac(c.y)
+        W = eye - (h * _D)[:, None, None] * J
+        lu, piv = jax.scipy.linalg.lu_factor(W)
+
+        def solve(rhs):
+            return jax.scipy.linalg.lu_solve((lu, piv), rhs)
+
+        k1 = solve(F0)
+        F1 = f(c.y + 0.5 * h[:, None] * k1)
+        k2 = solve(F1 - k1) + k1
+        y_new = c.y + h[:, None] * k2
+        F2 = f(y_new)
+        k3 = solve(F2 - _E32 * (k2 - F1) - 2.0 * (k1 - F0))
+        err_vec = (h / 6.0)[:, None] * (k1 - 2.0 * k2 + k3)
+
+        scale = atol + rtol * jnp.maximum(jnp.abs(c.y), jnp.abs(y_new))
+        err = jnp.sqrt(jnp.mean((err_vec / scale) ** 2, axis=-1))
+        err = jnp.where(jnp.isfinite(err), err, jnp.inf)
+
+        accept = (err <= 1.0) & active
+        # PI-less step controller with the usual safety factors
+        factor = jnp.clip(0.9 * jnp.power(jnp.maximum(err, 1e-16),
+                                          -1.0 / 3.0), 0.2, 5.0)
+        h_next = jnp.where(accept, h * factor,
+                           h * jnp.maximum(factor, 0.2) * 0.5)
+        h_next = jnp.where(jnp.isfinite(h_next) & (h_next > 0.0),
+                           h_next, h * 0.5)
+
+        y_out = jnp.where(accept[:, None], y_new, c.y)
+        t_out = jnp.where(accept, c.t + h, c.t)
+        # a step that underflows the representable dt is a failure
+        too_small = active & (h_next < 1e-14 * t_end) & ~accept
+        return Carry(
+            y=y_out, t=t_out,
+            h=jnp.where(active, h_next, c.h),
+            steps=c.steps + accept.astype(jnp.int32),
+            rejected=c.rejected + (active & ~accept).astype(jnp.int32),
+            failed=c.failed | too_small,
+            iters=c.iters + 1,
+        )
+
+    init = Carry(y=y0, t=jnp.zeros((B,), y0.dtype), h=h0,
+                 steps=jnp.zeros((B,), jnp.int32),
+                 rejected=jnp.zeros((B,), jnp.int32),
+                 failed=jnp.zeros((B,), bool),
+                 iters=jnp.zeros((), jnp.int32))
+    out = jax.lax.while_loop(cond, body, init)
+    success = (out.t >= t_end) & ~out.failed
+    return IntegrateResult(out.y, out.t, out.steps, out.rejected, success)
+
+
+@partial(jax.jit, static_argnums=(0,), static_argnames=('conp', 'rtol',
+                                                        'atol'))
+def _ignition_metric(packed, y0, param, t_end, conp=True, rtol=1e-6,
+                     atol=1e-10):
+    res = integrate(packed, y0, param, t_end, conp=conp, rtol=rtol,
+                    atol=atol)
+    return res.y[:, 0], res.success
+
+
+def ignition_delay(packed, y0, param, t_end, threshold: float = 400.0,
+                   conp: bool = True, n_points: int = 64,
+                   rtol: float = 1e-6, atol: float = 1e-10):
+    """Crude batched ignition-delay estimate: bisection on the time at
+    which T rises ``threshold`` K above the initial temperature.
+
+    Demonstrates a full production workflow (integrate -> observe ->
+    decide) running device-side over the whole batch.
+    """
+    import numpy as np
+
+    y0 = jnp.asarray(y0)
+    T0 = np.asarray(y0[:, 0])
+    lo = np.zeros(len(T0))
+    hi = np.full(len(T0), float(t_end))
+    for _ in range(int(math.log2(n_points)) + 4):
+        mid = 0.5 * (lo + hi)
+        Tm, ok = _ignition_metric(packed, y0, param, jnp.asarray(mid),
+                                  conp=conp, rtol=rtol, atol=atol)
+        ignited = np.asarray(Tm) > T0 + threshold
+        hi = np.where(ignited, mid, hi)
+        lo = np.where(ignited, lo, mid)
+    return 0.5 * (lo + hi)

@@ -1,0 +1,65 @@
+"""Batched stiff integrator tests (Rosenbrock23 with analytical J)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pyjac_tpu.integrate import integrate
+from pyjac_tpu.testers import pasr
+
+
+@pytest.fixture(scope='module')
+def h2_air(h2o2_mech, h2o2_packed):
+    X = pasr.equivalence_ratio_reactants(h2o2_mech, 1.0, {'H2': 1.0},
+                                         {'O2': 1.0, 'N2': 3.76})
+    return pasr.mole_to_mass_fracs(h2o2_packed, X)
+
+
+@pytest.mark.slow
+def test_ignition_batch_matches_scipy(h2o2_packed, h2_air):
+    """Batch of H2/air states ignites; endpoint matches scipy BDF."""
+    from scipy.integrate import solve_ivp
+
+    from pyjac_tpu.ops.dydt import dydt_conp
+
+    B = 8
+    T0 = np.linspace(1000.0, 1400.0, B)
+    y0 = np.concatenate([T0[:, None], np.tile(h2_air[:-1], (B, 1))],
+                        axis=1)
+    P = np.full(B, 101325.0)
+    res = integrate(h2o2_packed, jnp.asarray(y0), jnp.asarray(P), 1e-3,
+                    rtol=1e-8, atol=1e-12)
+    assert bool(res.success.all())
+    Tf = np.asarray(res.y[:, 0])
+    assert (Tf > 2600).all()                     # everything ignited
+    assert (Tf < 2900).all()
+
+    def rhs(t, y):
+        return np.asarray(dydt_conp(h2o2_packed, 0.0,
+                                    jnp.asarray([101325.0]),
+                                    jnp.asarray(y[None])))[0]
+    sol = solve_ivp(rhs, (0, 1e-3), y0[4], method='BDF', rtol=1e-9,
+                    atol=1e-13)
+    assert abs(sol.y[0, -1] - Tf[4]) < 0.5       # K
+
+
+def test_integrate_trivial_interval(h2o2_packed, h2_air):
+    """Near-zero interval: state unchanged, success immediately."""
+    y0 = np.concatenate([[1100.0], h2_air[:-1]])[None]
+    res = integrate(h2o2_packed, jnp.asarray(y0),
+                    jnp.asarray([101325.0]), 1e-12)
+    assert bool(res.success.all())
+    np.testing.assert_allclose(np.asarray(res.y), y0, rtol=1e-6)
+
+
+def test_integrate_mixed_horizons(h2o2_packed, h2_air):
+    """Per-state t_end: each state stops at its own horizon."""
+    y0 = np.concatenate([[1200.0], h2_air[:-1]])[None].repeat(3, axis=0)
+    t_end = jnp.asarray([1e-7, 1e-6, 1e-5])
+    res = integrate(h2o2_packed, jnp.asarray(y0),
+                    jnp.asarray([101325.0] * 3), t_end, rtol=1e-7)
+    assert bool(res.success.all())
+    np.testing.assert_allclose(np.asarray(res.t), np.asarray(t_end),
+                               rtol=1e-12)
+    T = np.asarray(res.y[:, 0])
+    assert T[0] <= T[1] <= T[2]                  # monotone heating
