@@ -49,7 +49,8 @@ def test_integrate_trivial_interval(h2o2_packed, h2_air):
     res = integrate(h2o2_packed, jnp.asarray(y0),
                     jnp.asarray([101325.0]), 1e-12)
     assert bool(res.success.all())
-    np.testing.assert_allclose(np.asarray(res.y), y0, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(res.y), y0, rtol=1e-6,
+                               atol=1e-12)
 
 
 def test_integrate_mixed_horizons(h2o2_packed, h2_air):
@@ -61,5 +62,8 @@ def test_integrate_mixed_horizons(h2o2_packed, h2_air):
     assert bool(res.success.all())
     np.testing.assert_allclose(np.asarray(res.t), np.asarray(t_end),
                                rtol=1e-12)
-    T = np.asarray(res.y[:, 0])
-    assert T[0] <= T[1] <= T[2]                  # monotone heating
+    # at these short horizons T barely moves (initial radical buildup is
+    # slightly endothermic); radical pool growth is the monotone signal
+    h_idx = 1 + h2o2_packed.species_names.index('H')
+    YH = np.asarray(res.y[:, h_idx])
+    assert YH[0] < YH[1] < YH[2]
