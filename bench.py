@@ -42,14 +42,16 @@ def main():
     @jax.jit
     def step(pres, ystate):
         J, f = jacobian_and_dydt(packed, 0.0, pres, ystate)
-        # tiny on-device checksums force full evaluation on sync without
-        # a bulk device->host transfer polluting the timing
-        return J, f, jnp.sum(J[..., 0, 0]) + jnp.sum(f[..., 0])
+        # full on-device reductions: every output element feeds the
+        # checksum so XLA cannot dead-code-eliminate any of the kernel,
+        # while the host transfer stays a single scalar
+        return jnp.sum(J) + jnp.sum(f)
 
     t0 = time.time()
-    _, _, chk = step(Pj, yj)
-    chk0 = float(chk)   # host sync (block_until_ready is unreliable on
-                        # the experimental axon platform)
+    chk0 = float(step(Pj, yj))  # host sync (block_until_ready is
+    # unreliable on the experimental axon platform, and each host sync
+    # costs a ~30 ms tunnel roundtrip -- so chunks are queued and the
+    # pass synced once)
     print('compile+first run: %.1fs' % (time.time() - t0), file=sys.stderr)
     if not np.isfinite(chk0):
         raise SystemExit('non-finite benchmark output')
@@ -58,10 +60,8 @@ def main():
     times = []
     for _ in range(repeats):
         t0 = time.time()
-        acc = 0.0
-        for _ in range(n_chunks):
-            _, _, chk = step(Pj, yj)
-            acc += float(chk)
+        pending = [step(Pj, yj) for _ in range(n_chunks)]
+        acc = float(sum(pending))
         times.append(time.time() - t0)
     best = min(times)
     evals_per_sec = total / best
