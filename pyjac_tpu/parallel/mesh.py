@@ -158,3 +158,22 @@ def sharded_step(packed, mesh: Mesh, conp: bool = True):
         return J, f, norm
 
     return step
+
+
+def initialize_distributed(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> None:
+    """Initialise multi-host JAX (DCN) before building meshes.
+
+    The reference is strictly single-node (SURVEY §2.3); this is the
+    TPU-native growth path: call once per host, then ``make_mesh()``
+    sees all global devices and the batch axis shards across hosts
+    (state batches stay host-local via ``jax.make_array_from_*``).
+    No-op when JAX is already initialised or running single-process.
+    """
+    import jax
+    if coordinator_address is None:
+        return
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)

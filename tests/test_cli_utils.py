@@ -88,3 +88,15 @@ def test_cli_pack_and_validate(h2o2_cti, tmp_path):
     assert os.path.exists(os.path.join(build, 'initial_state.npy'))
     loaded = load_packed(os.path.join(build, 'mech_packed.npz'))
     assert loaded.n_reactions == 28
+
+
+def test_cli_conv_validate(h2o2_cti, tmp_path):
+    rc = cli_main(['-i', h2o2_cti, '-b', str(tmp_path / 'o'), '--conv',
+                   '--validate', '--states', '3'])
+    assert rc == 0
+
+
+def test_cli_skip_jac(h2o2_cti, tmp_path):
+    rc = cli_main(['-i', h2o2_cti, '-b', str(tmp_path / 'o2'),
+                   '--skip_jac', '--validate'])
+    assert rc == 0

@@ -106,3 +106,24 @@ def test_pasr_smoke(h2o2_mech):
     np.testing.assert_allclose(data[:, :, 3:].sum(-1), 1.0, atol=1e-10)
     assert data[:, :, 3:].min() >= -1e-12
     assert np.allclose(data[:, :, 2], 101325.0)
+
+
+@pytest.mark.slow
+def test_pasr_non_premixed(h2o2_mech):
+    """Non-premixed case: three inlet streams (air/fuel/pilot)."""
+    data = pasr.run_simulation(
+        h2o2_mech, 'non-premixed', 300.0, 1.0, 1.0, {'H2': 1.0},
+        {'O2': 1.0, 'N2': 3.76}, num_part=4, tau_res=1e-3, tau_mix=5e-4,
+        tau_pair=1e-3, num_res=1, seed=1, verbose=False)
+    assert data.shape[1] == 4
+    np.testing.assert_allclose(data[:, :, 3:].sum(-1), 1.0, atol=1e-9)
+    # fuel and air streams keep entering: temperatures span cold and hot
+    assert data[:, :, 1].min() < 1500.0
+    assert data[:, :, 1].max() > 2200.0
+
+
+def test_pasr_bad_case(h2o2_mech):
+    with pytest.raises(ValueError):
+        pasr.run_simulation(h2o2_mech, 'weird', 300.0, 1.0, 1.0,
+                            {'H2': 1.0}, {'O2': 1.0, 'N2': 3.76},
+                            num_part=2, num_res=1)
