@@ -94,3 +94,30 @@ def test_jacobian_meets_baseline_bar(evaluated, golden):
     rel = np.abs(test['jac'] - ref) / np.where(mask, np.abs(ref), 1.0)
     err = float((rel * mask).max())
     assert err < 1e-8, 'thresholded Jacobian error %.3e' % err
+
+
+def test_conv_dydt_golden(h2o2_inp):
+    """CONV dy/dt vs the reference's generated C.
+
+    Notable: pyJac v1.0.6's CONV codegen emits *uncompilable* C (two
+    syntax bugs: a missing comma in the eval_conc_rho call,
+    rate_subs.py:2361-2364, and a missing '+' in the cv_avg sum,
+    rate_subs.py:2431); the golden was produced after minimal one-token
+    syntax fixes to the emitted text. The reference's generated
+    Jacobian is CONP-only (no CONV branch in create_jacobian.py), so
+    CONV Jacobian coverage here exceeds the reference and is validated
+    against forward AD instead.
+    """
+    import jax.numpy as jnp
+
+    from pyjac_tpu.ops.dydt import dydt_conv
+    g = np.load(GOLDEN.parent / 'golden_h2o2_refc_conv.npz')
+    mech = Mechanism.from_files(h2o2_inp)
+    packed = pack(mech)
+    f = np.asarray(dydt_conv(packed, 0.0, jnp.asarray(g['rho']),
+                             jnp.asarray(g['y'])))
+    ref = g['ref_dydt']
+    denom = np.maximum(np.abs(ref),
+                       np.abs(ref).max(-1, keepdims=True) * 1e-6 + 1e-300)
+    err = (np.abs(f - ref) / denom).max()
+    assert err < 1e-8, 'CONV dydt error %.3e' % err
