@@ -1,0 +1,569 @@
+"""Pallas TPU kernel: fused analytical Jacobian + dy/dt.
+
+The XLA-composed Jacobian (ops/jacobian.py) is memory-bound: its
+(B, R, N) intermediates stream through HBM. This kernel is the explicit
+analog of the reference's CUDA shared-memory manager
+(reference: pyjac/core/shared_memory.py): it tiles the state batch,
+keeps *every* per-state intermediate — concentrations, rate constants,
+rates of progress, falloff terms, slot derivatives, and the Jacobian
+assembly operand — resident in VMEM, and touches HBM only for the state
+tile in and the Jacobian tile out (~12 KB/state instead of ~230 KB).
+
+Design choices (see docs/architecture.md):
+
+* **batch-minor layout**: all per-reaction values are (R, B_T), per-
+  species values (N, B_T) — the state index rides the 128-wide vector
+  lanes, mirroring the reference GPU code's ``INDEX()`` SoA layout.
+* **gathers as GEMMs**: slot concentration gathers and the
+  stoichiometric scatter both become matmuls against static one-hot
+  matrices, which Mosaic maps onto the MXU (TPU has no fast gather).
+* the final species-block contraction is one (N, R) @ (R, J*B_T) GEMM
+  per tile.
+
+Currently f32, CONP, and the Arrhenius / third-body / Lindemann / Troe /
+SRI / chemically-activated categories (PLOG and Chebyshev rows fall
+back to the XLA path; see ``supports``).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.constants import PA, RU
+
+_LN_PA_RU = math.log(PA / RU)
+_LOG10 = math.log(10.0)
+_TINY32 = 1.0e-30          # f32-range guard (reference uses 1e-300 in f64)
+
+
+def supports(packed) -> bool:
+    """Whether this kernel covers the mechanism's reaction categories."""
+    return not (packed.has_plog or packed.has_cheb or
+                packed.has_negative_A or packed.has_frac_nu)
+
+
+def _consts(packed, dtype=np.float32):
+    """Static constant tensors in kernel layout (numpy, built once)."""
+    N = packed.n_species
+    R = packed.n_reactions
+    Sf = packed.reac_sp.shape[1]
+    Sp = packed.prod_sp.shape[1]
+    J = N - 1
+    f = lambda x: np.asarray(x, dtype=dtype)
+
+    # slot gather one-hots: (S*R, N) so C_slots = G @ C
+    def gather_mat(sp_idx, S):
+        G = np.zeros((S * R, N), dtype=dtype)
+        for s in range(S):
+            G[s * R + np.arange(R), sp_idx[:, s]] = 1.0
+        return G
+
+    # slot scatter one-hots, weighted for the P1 assembly:
+    # W[s][r, j] = onehot(sp[r, s] == j) * inv_mw[j] for the reduced
+    # columns, plus a separate last-species row mask
+    def scatter_w(sp_idx, S):
+        W = np.zeros((S, R, J), dtype=dtype)
+        last = np.zeros((S, R), dtype=dtype)
+        for s in range(S):
+            for r in range(R):
+                j = sp_idx[r, s]
+                if j < J:
+                    W[s, r, j] = packed.inv_mw[j]
+                else:
+                    last[s, r] = 1.0
+        return W, last
+
+    Wf, lastf = scatter_w(packed.reac_sp, Sf)
+    Wp, lastp = scatter_w(packed.prod_sp, Sp)
+
+    alpha_tilde = (packed.eff_m1[:, :-1] * packed.inv_mw[None, :-1] -
+                   (packed.eff_m1[:, -1] * packed.inv_mw[-1])[:, None])
+    pd = np.asarray(packed.pdep_sp_idx)
+    pd_tilde = np.zeros((R, J))
+    for r in np.where(pd >= 0)[0]:
+        if pd[r] < J:
+            pd_tilde[r, pd[r]] += packed.inv_mw[pd[r]]
+        else:
+            pd_tilde[r, :] -= packed.inv_mw[-1]
+    pd_onehot = np.zeros((R, N))
+    rows = np.where(pd >= 0)[0]
+    pd_onehot[rows, np.maximum(pd[rows], 0)] = 1.0
+
+    troe = packed.troe_mask
+    sri = packed.sri_mask
+
+    c = {
+        'inv_mw_row': f(packed.inv_mw)[None, :],           # (1, N)
+        'mw_col': f(packed.mw)[:, None],                   # (N, 1)
+        'T_mid': f(packed.T_mid)[:, None],                 # (N, 1)
+        'a_lo': f(packed.a_lo),                            # (N, 7)
+        'a_hi': f(packed.a_hi),                            # (N, 7)
+        'nu_net_T': f(packed.nu_net.T),                    # (N, R)
+        'sum_nu': f(packed.sum_nu)[:, None],               # (R, 1)
+        'logA': f(packed.logA)[:, None],
+        'beta': f(packed.beta)[:, None],
+        'Ta': f(packed.Ta)[:, None],
+        'rev_mask': f(packed.rev_mask)[:, None],
+        'G_f': gather_mat(packed.reac_sp, Sf),             # (Sf*R, N)
+        'G_p': gather_mat(packed.prod_sp, Sp),
+        'nu_f_slot': f(packed.reac_nu.T.reshape(-1))[:, None],  # (Sf*R,1)
+        'nu_p_slot': f(packed.prod_nu.T.reshape(-1))[:, None],
+        'W_f': f(Wf.reshape(Sf * R, J)),                   # (Sf*R, J)
+        'W_p': f(Wp.reshape(Sp * R, J)),
+        'last_f': f(lastf.reshape(Sf * R))[:, None],       # (Sf*R, 1)
+        'last_p': f(lastp.reshape(Sp * R))[:, None],
+        'ordf': f(packed.reac_nu.sum(1))[:, None],         # (R, 1)
+        'ordr': f(packed.prod_nu.sum(1))[:, None],
+        'u_vec': f(packed.inv_mw[:-1] - packed.inv_mw[-1])[None, :],
+        'eff_m1': f(packed.eff_m1),                        # (R, N)
+        'alpha_tilde': f(alpha_tilde),                     # (R, J)
+        'pd_tilde': f(pd_tilde),
+        'pd_onehot': f(pd_onehot),                         # (R, N)
+        'spec_mask': f(pd >= 0)[:, None],
+        'thd_mask': f(packed.thd_only_mask)[:, None],
+        'fall_mask': f(packed.falloff_mask)[:, None],
+        'chem_mask': f(packed.chemact_mask)[:, None],
+        'pdep_mask': f(packed.falloff_mask |
+                       packed.chemact_mask)[:, None],
+        'low_logA': f(packed.low_logA)[:, None],
+        'low_beta': f(packed.low_beta)[:, None],
+        'low_Ta': f(packed.low_Ta)[:, None],
+        'high_logA': f(packed.high_logA)[:, None],
+        'high_beta': f(packed.high_beta)[:, None],
+        'high_Ta': f(packed.high_Ta)[:, None],
+        'troe_mask': f(troe)[:, None],
+        'troe_a': f(packed.troe_par[:, 0])[:, None],
+        'troe_T3': f(np.where(troe, packed.troe_par[:, 1], 1.0))[:, None],
+        'troe_T1': f(np.where(troe, packed.troe_par[:, 2], 1.0))[:, None],
+        'troe_T2': f(packed.troe_par[:, 3])[:, None],
+        'troe_has2': f(packed.troe_has_T2)[:, None],
+        'sri_mask': f(sri)[:, None],
+        'sri_a': f(packed.sri_par[:, 0])[:, None],
+        'sri_b': f(packed.sri_par[:, 1])[:, None],
+        'sri_c': f(np.where(sri, packed.sri_par[:, 2], 1.0))[:, None],
+        'sri_d': f(packed.sri_par[:, 3])[:, None],
+        'sri_e': f(packed.sri_par[:, 4])[:, None],
+    }
+    meta = {'N': N, 'R': R, 'Sf': Sf, 'Sp': Sp, 'J': J,
+            'max_nu': packed.max_nu_int,
+            'has_rev': packed.has_rev,
+            'has_pres_mod': packed.has_pres_mod,
+            'has_troe': packed.has_troe,
+            'has_sri': packed.has_sri,
+            'has_chemact': packed.has_chemact,
+            'has_spec_pdep': packed.has_specific_pdep_sp,
+            'has_troe2': bool(packed.troe_has_T2.any())}
+    return c, meta
+
+
+_CONST_ORDER = None  # filled at first build for stable arg ordering
+
+
+def _kernel(meta, names, *refs):
+    nc = len(names)
+    const = {nm: refs[i] for i, nm in enumerate(names)}
+    y_ref, P_ref = refs[nc], refs[nc + 1]
+    J_ref, f_ref = refs[nc + 2], refs[nc + 3]
+    C_ = {nm: const[nm][...] for nm in names}
+    J_out, f_out = _compute(meta, C_, y_ref[...], P_ref[...])
+    J_ref[...] = J_out
+    f_ref[...] = f_out
+
+
+def _compute(meta, C_, y_tile, P_tile):
+    """Pure math on a (N, B) state tile; shared by the Pallas kernel and
+    the interpret/debug path."""
+    N, R, Sf, Sp, J = (meta['N'], meta['R'], meta['Sf'], meta['Sp'],
+                       meta['J'])
+
+    T = y_tile[0:1, :]                               # (1, B)
+    Yr = y_tile[1:, :]                               # (J, B)
+    P = P_tile[0:1, :]
+    logT = jnp.log(T)
+    invT = 1.0 / T
+
+    y_N = 1.0 - jnp.sum(Yr, axis=0, keepdims=True)   # (1, B)
+    Y_full = jnp.concatenate([Yr, y_N], axis=0)      # (N, B)
+    inv_wbar = jnp.dot(C_['inv_mw_row'], Y_full,
+                       preferred_element_type=jnp.float32)   # (1, B)
+    mw_avg = 1.0 / inv_wbar
+    rho = P * mw_avg / (RU * T)
+    conc = rho * Y_full * C_['inv_mw_row'].T          # (N, B)
+
+    # --- thermo (two-range NASA select), all (N, B) -----------------------
+    sel = (T <= C_['T_mid'])                          # (N, B) via bcast
+    def dual(idx_fn):
+        lo = idx_fn(C_['a_lo'])
+        hi = idx_fn(C_['a_hi'])
+        return jnp.where(sel, lo, hi)
+
+    def poly_cp(a):
+        return (a[:, 0:1] + T * (a[:, 1:2] + T * (a[:, 2:3] + T * (
+            a[:, 3:4] + a[:, 4:5] * T))))
+
+    def poly_h(a):
+        return a[:, 5:6] + T * (a[:, 0:1] + T * (a[:, 1:2] / 2 + T * (
+            a[:, 2:3] / 3 + T * (a[:, 3:4] / 4 + a[:, 4:5] / 5 * T))))
+
+    def poly_smh(a):
+        return (a[:, 0:1] * (logT - 1.0) + T * (a[:, 1:2] / 2 + T * (
+            a[:, 2:3] / 6 + T * (a[:, 3:4] / 12 + a[:, 4:5] / 20 * T)))
+            - a[:, 5:6] * invT + a[:, 6:7])
+
+    def poly_dsmh(a):
+        return (a[:, 0:1] * invT + a[:, 1:2] / 2 + T * (a[:, 2:3] / 3 +
+                T * (a[:, 3:4] / 4 + a[:, 4:5] / 5 * T)) +
+                a[:, 5:6] * invT * invT)
+
+    def poly_dcp(a):
+        return (a[:, 1:2] + T * (2 * a[:, 2:3] + T * (3 * a[:, 3:4] +
+                4 * a[:, 4:5] * T)))
+
+    RUinv_mw = RU * C_['inv_mw_row'].T               # (N, 1)
+    cp = RUinv_mw * dual(poly_cp)
+    h = RUinv_mw * dual(poly_h)
+    dcp = RUinv_mw * dual(poly_dcp)
+    smh = dual(poly_smh)
+    dsmh = dual(poly_dsmh)
+
+    # --- forward/reverse rate constants, (R, B) ---------------------------
+    kf = jnp.exp(C_['logA'] + C_['beta'] * logT - C_['Ta'] * invT)
+    dlnkf_dT = (C_['beta'] + C_['Ta'] * invT) * invT
+    if meta['has_rev']:
+        lnKc = (jnp.dot(C_['nu_net_T'].T, smh,
+                        preferred_element_type=jnp.float32) +
+                C_['sum_nu'] * (_LN_PA_RU - logT))
+        kr = C_['rev_mask'] * kf * jnp.exp(-lnKc)
+        dlnKc_dT = (jnp.dot(C_['nu_net_T'].T, dsmh,
+                            preferred_element_type=jnp.float32) -
+                    C_['sum_nu'] * invT)
+        dlnkr_dT = dlnkf_dT - dlnKc_dT
+    else:
+        kr = jnp.zeros_like(kf)
+        dlnkr_dT = jnp.zeros_like(kf)
+
+    # --- slot products and derivatives -------------------------------------
+    def slot_products(G, nu_slot, S):
+        cg = jnp.dot(G, conc, preferred_element_type=jnp.float32)
+        # integer powers via where-chain
+        powv = jnp.where(nu_slot == 0.0, 1.0, cg)
+        acc = cg
+        for k in range(2, meta['max_nu'] + 1):
+            acc = acc * cg
+            powv = jnp.where(nu_slot >= float(k), acc, powv)
+        # exclusive product over slots: reshape (S, R, B)
+        p3 = powv.reshape(S, R, -1)
+        total = p3[0]
+        for s in range(1, S):
+            total = total * p3[s]
+        # d(C^nu)/dC = nu * C^(nu-1); exclusive prods
+        dpow = jnp.where(nu_slot == 0.0, 1.0, cg)
+        dacc = cg
+        for k in range(2, meta['max_nu']):
+            dacc = dacc * cg
+            dpow = jnp.where(nu_slot - 1.0 >= float(k), dacc, dpow)
+        dpow = jnp.where(nu_slot <= 1.0,
+                         jnp.where(nu_slot == 0.0, 0.0, 1.0), dpow)
+        dpow = nu_slot * dpow
+        # exclusive products
+        excl = []
+        for s in range(S):
+            e = None
+            for s2 in range(S):
+                if s2 == s:
+                    continue
+                e = p3[s2] if e is None else e * p3[s2]
+            excl.append(e if e is not None else jnp.ones_like(total))
+        excl = jnp.concatenate([e for e in excl], axis=0)  # (S*R, B)
+        return total, dpow.reshape(S * R, -1) * excl
+
+    Pif, dPif = slot_products(C_['G_f'], C_['nu_f_slot'], Sf)
+    Pir, dPir = slot_products(C_['G_p'], C_['nu_p_slot'], Sp)
+    Rf = kf * Pif
+    Rr = kr * Pir
+    qnet = Rf - Rr
+
+    # slot D values: d(Rf - Rr)/dC at each slot, (S*R, B)
+    kf_rep = jnp.concatenate([kf] * Sf, axis=0)
+    kr_rep = jnp.concatenate([kr] * Sp, axis=0)
+    Df_slot = kf_rep * dPif
+    Dr_slot = kr_rep * dPir
+
+    # --- pressure modification, (R, B) --------------------------------------
+    pm = jnp.ones_like(kf)
+    dpm_dT = jnp.zeros_like(kf)
+    c_u_pm = jnp.zeros_like(kf)
+    psi = jnp.zeros_like(kf)
+    xi = jnp.zeros_like(kf)
+    if meta['has_pres_mod']:
+        m_tb = P / (RU * T)                           # (1, B)
+        thd = m_tb + jnp.dot(C_['eff_m1'], conc,
+                             preferred_element_type=jnp.float32)
+        tm = C_['thd_mask']
+        pm = pm + tm * (thd - 1.0)
+        dpm_dT = dpm_dT + tm * (-thd * invT)
+        c_u_pm = c_u_pm + tm * (-mw_avg * (thd - m_tb))
+        psi = psi + tm * rho
+
+        fall = C_['fall_mask']
+        chem = C_['chem_mask']
+        pdep = C_['pdep_mask']
+        k0 = jnp.where(fall > 0.5,
+                       jnp.exp(C_['low_logA'] + C_['low_beta'] * logT -
+                               C_['low_Ta'] * invT), kf)
+        dlnk0 = jnp.where(fall > 0.5,
+                          (C_['low_beta'] + C_['low_Ta'] * invT) * invT,
+                          dlnkf_dT)
+        if meta['has_chemact']:
+            kinf = jnp.where(chem > 0.5,
+                             jnp.exp(C_['high_logA'] +
+                                     C_['high_beta'] * logT -
+                                     C_['high_Ta'] * invT), kf)
+            dlnkinf = jnp.where(chem > 0.5,
+                                (C_['high_beta'] +
+                                 C_['high_Ta'] * invT) * invT, dlnkf_dT)
+        else:
+            kinf = kf
+            dlnkinf = dlnkf_dT
+        if meta['has_spec_pdep']:
+            c_pd = jnp.dot(C_['pd_onehot'], conc,
+                           preferred_element_type=jnp.float32)
+            sm = C_['spec_mask']
+            X = jnp.where(sm > 0.5, c_pd, thd)
+        else:
+            sm = jnp.zeros_like(fall)
+            X = jnp.broadcast_to(thd, kf.shape)
+        ratio = k0 / kinf
+        Pr = ratio * X
+        L = jnp.log(jnp.maximum(Pr, _TINY32)) / _LOG10
+        dL_dPr = jnp.where(Pr > _TINY32,
+                           1.0 / (_LOG10 * jnp.maximum(Pr, _TINY32)),
+                           0.0)
+        F = jnp.ones_like(Pr)
+        dF_dT = jnp.zeros_like(Pr)
+        dF_dL = jnp.zeros_like(Pr)
+        if meta['has_troe']:
+            e3 = jnp.exp(-T / C_['troe_T3'])
+            e1 = jnp.exp(-T / C_['troe_T1'])
+            Fc = (1.0 - C_['troe_a']) * e3 + C_['troe_a'] * e1
+            dFc = (-(1.0 - C_['troe_a']) / C_['troe_T3'] * e3 -
+                   C_['troe_a'] / C_['troe_T1'] * e1)
+            if meta['has_troe2']:
+                e2 = jnp.exp(-C_['troe_T2'] * invT)
+                Fc = Fc + C_['troe_has2'] * e2
+                dFc = dFc + C_['troe_has2'] * C_['troe_T2'] * invT * \
+                    invT * e2
+            cc = jnp.log(jnp.maximum(Fc, _TINY32)) / _LOG10
+            dcc = jnp.where(Fc > _TINY32,
+                            dFc / (_LOG10 * jnp.maximum(Fc, _TINY32)),
+                            0.0)
+            A_ = L - 0.67 * cc - 0.4
+            B_ = 0.806 - 1.1762 * cc - 0.14 * L
+            AB = A_ / B_
+            g = 1.0 / (1.0 + AB * AB)
+            Ft = jnp.exp(_LOG10 * cc * g)
+            dg_dc = -g * g * 2.0 * AB * ((-0.67) * B_ + 1.1762 * A_) / \
+                (B_ * B_)
+            dg_dL = -g * g * 2.0 * AB * (B_ + 0.14 * A_) / (B_ * B_)
+            tmask = C_['troe_mask']
+            F = jnp.where(tmask > 0.5, Ft, F)
+            dF_dT = jnp.where(tmask > 0.5,
+                              Ft * _LOG10 * (g + cc * dg_dc) * dcc,
+                              dF_dT)
+            dF_dL = jnp.where(tmask > 0.5, Ft * _LOG10 * cc * dg_dL,
+                              dF_dL)
+        if meta['has_sri']:
+            eb = jnp.exp(-C_['sri_b'] * invT)
+            ec = jnp.exp(-T / C_['sri_c'])
+            base = jnp.maximum(C_['sri_a'] * eb + ec, _TINY32)
+            Xs = 1.0 / (1.0 + L * L)
+            Fs = jnp.exp(Xs * jnp.log(base)) * C_['sri_d'] * \
+                jnp.exp(C_['sri_e'] * logT)
+            dbase = C_['sri_a'] * C_['sri_b'] * invT * invT * eb - \
+                ec / C_['sri_c']
+            smask = C_['sri_mask']
+            F = jnp.where(smask > 0.5, Fs, F)
+            dF_dT = jnp.where(smask > 0.5,
+                              Fs * (Xs * dbase / base + C_['sri_e'] *
+                                    invT), dF_dT)
+            dF_dL = jnp.where(smask > 0.5,
+                              Fs * jnp.log(base) *
+                              (-2.0 * L * Xs * Xs), dF_dL)
+
+        G_ = jnp.where(fall > 0.5, Pr / (1.0 + Pr), 1.0 / (1.0 + Pr))
+        dG_dPr = jnp.where(fall > 0.5, 1.0, -1.0) / ((1.0 + Pr) *
+                                                     (1.0 + Pr))
+        Phi = F * dG_dPr + G_ * dF_dL * dL_dPr
+        dPr_dT = Pr * (dlnk0 - dlnkinf - invT)       # CONP: dlnX/dT=-1/T
+        pm_p = F * G_
+        pm = jnp.where(pdep > 0.5, pm_p, pm)
+        dpm_dT = jnp.where(pdep > 0.5, G_ * dF_dT + Phi * dPr_dT,
+                           dpm_dT)
+        cu_mix = -mw_avg * (thd - m_tb)
+        if meta['has_spec_pdep']:
+            cu_X = jnp.where(sm > 0.5, -mw_avg * X, cu_mix)
+        else:
+            cu_X = jnp.broadcast_to(cu_mix, kf.shape)
+        c_u_pm = jnp.where(pdep > 0.5, Phi * ratio * cu_X, c_u_pm)
+        psi = jnp.where(pdep > 0.5,
+                        jnp.where(sm > 0.5, 0.0, Phi * ratio * rho),
+                        psi)
+        if meta['has_spec_pdep']:
+            xi = jnp.where((pdep > 0.5) & (sm > 0.5), Phi * ratio * rho,
+                           xi)
+
+    # --- dq/dT, (R, B) -------------------------------------------------------
+    dq_dT = (pm * (Rf * dlnkf_dT - Rr * dlnkr_dT) +
+             pm * (-invT) * (C_['ordf'] * Rf - C_['ordr'] * Rr) +
+             dpm_dT * qnet)
+
+    # --- P1 assembly in (R, J, B) without a D buffer -------------------------
+    B_T = T.shape[-1]
+    pmrho = pm * rho                                   # (R, B)
+    # slot contributions: sum_s (pmrho * Dslot_s)[r, b] * W_s[r, j]
+    P1 = jnp.zeros((R, J, B_T), jnp.float32)
+    c_1 = jnp.zeros_like(kf)
+    Df3 = Df_slot.reshape(Sf, R, B_T)
+    Wf3 = C_['W_f'].reshape(Sf, R, J)
+    lf = C_['last_f'].reshape(Sf, R, 1)
+    for s in range(Sf):
+        val = pmrho * Df3[s]
+        P1 = P1 + val[:, None, :] * Wf3[s][:, :, None]
+        c_1 = c_1 - val * lf[s] * C_['inv_mw_row'][0, -1]
+    Dr3 = Dr_slot.reshape(Sp, R, B_T)
+    Wp3 = C_['W_p'].reshape(Sp, R, J)
+    lp = C_['last_p'].reshape(Sp, R, 1)
+    for s in range(Sp):
+        val = pmrho * Dr3[s]
+        P1 = P1 - val[:, None, :] * Wp3[s][:, :, None]
+        c_1 = c_1 + val * lp[s] * C_['inv_mw_row'][0, -1]
+    if meta['has_pres_mod']:
+        P1 = P1 + (psi * qnet)[:, None, :] * \
+            C_['alpha_tilde'][:, :, None]
+        if meta['has_spec_pdep']:
+            P1 = P1 + (xi * qnet)[:, None, :] * \
+                C_['pd_tilde'][:, :, None]
+
+    # rank-one coefficient on u_vec (CONP)
+    c_u = (pm * (C_['ordf'] * Rf - C_['ordr'] * Rr) * (-mw_avg) +
+           c_u_pm * qnet)
+
+    # --- stoichiometric contraction (the MXU GEMM) ---------------------------
+    q = pm * qnet
+    omega = jnp.dot(C_['nu_net_T'], q,
+                    preferred_element_type=jnp.float32)          # (N, B)
+    domega_dT = jnp.dot(C_['nu_net_T'], dq_dT,
+                        preferred_element_type=jnp.float32)
+    v_u = jnp.dot(C_['nu_net_T'], c_u,
+                  preferred_element_type=jnp.float32)
+    v_1 = jnp.dot(C_['nu_net_T'], c_1,
+                  preferred_element_type=jnp.float32)
+    M1 = jnp.dot(C_['nu_net_T'], P1.reshape(R, J * B_T),
+                 preferred_element_type=jnp.float32).reshape(N, J, B_T)
+    domega_dY = (M1 + v_u[:, None, :] * C_['u_vec'][0][None, :, None] +
+                 v_1[:, None, :])
+
+    # --- thermodynamic closure rows/cols --------------------------------------
+    r_vec = -mw_avg * C_['u_vec'].T                     # (J, B)
+    rho_inv = 1.0 / rho
+    fk = omega * C_['mw_col'] * rho_inv                 # (N, B)
+    sh = jnp.sum(cp * Y_full, axis=0, keepdims=True)    # (1, B)
+    dsh_dT = jnp.sum(dcp * Y_full, axis=0, keepdims=True)
+    eW = h * C_['mw_col']                               # (N, B)
+    denomT = rho * sh
+    fT = -jnp.sum(eW * omega, axis=0, keepdims=True) / denomT
+
+    JYY = (C_['mw_col'][:-1][:, None, :] * rho_inv[None, :, :] *
+           domega_dY[:-1] - fk[:-1][:, None, :] * r_vec[None, :, :])
+    JYT = (C_['mw_col'][:-1] * rho_inv * domega_dT[:-1] -
+           fk[:-1] * (-invT))
+    heat_j = cp[:-1] - cp[-1:]
+    JTY = (-jnp.sum(eW[:, None, :] * domega_dY, axis=0) / denomT -
+           fT * (r_vec + heat_j / sh))
+    JTT = (-(jnp.sum(cp * C_['mw_col'] * omega, axis=0, keepdims=True) +
+             jnp.sum(eW * domega_dT, axis=0, keepdims=True)) / denomT -
+           fT * (-invT + dsh_dT / sh))
+
+    top = jnp.concatenate([JTT[:, None, :], JTY[None, :, :]], axis=1)
+    bottom = jnp.concatenate([JYT[:, None, :], JYY], axis=1)
+    J_out = jnp.concatenate([top, bottom], axis=0)      # (N, N, B)
+    return J_out, jnp.concatenate([fT, fk[:-1]], axis=0)
+
+
+class PallasJacobian:
+    """Callable wrapper: builds the kernel once per mechanism.
+
+    ``__call__(y, P)`` takes the standard batch-major (B, N) states and
+    returns (J, f) batch-major; ``call_tr`` takes/returns the native
+    batch-minor layout (N, B) -> ((N, N, B), (N, B)) with no transposes
+    for benchmarking the pure kernel.
+    """
+
+    def __init__(self, packed, block_b: int = 64, interpret: bool = False):
+        if not supports(packed):
+            raise NotImplementedError(
+                'PLOG/Chebyshev/negative-A/fractional-nu rows: use the '
+                'XLA path (ops.jacobian.eval_jacobian)')
+        self.packed = packed
+        self.block_b = block_b
+        self.interpret = interpret
+        self.consts, self.meta = _consts(packed)
+        self.names = list(self.consts.keys())
+        N = self.meta['N']
+
+        kern = functools.partial(_kernel, self.meta, self.names)
+        n_const = len(self.names)
+
+        def call_tr(y_tr, P_row):
+            B = y_tr.shape[-1]
+            grid = (B // block_b,)
+            const_specs = [
+                pl.BlockSpec(self.consts[nm].shape,
+                             (lambda nd: (lambda i: (0,) * nd))(
+                                 self.consts[nm].ndim),
+                             memory_space=pltpu.VMEM)
+                for nm in self.names]
+            in_specs = const_specs + [
+                pl.BlockSpec((N, block_b), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_b), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+            ]
+            out_specs = [
+                pl.BlockSpec((N, N, block_b), lambda i: (0, 0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((N, block_b), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+            ]
+            out_shape = [
+                jax.ShapeDtypeStruct((N, N, B), jnp.float32),
+                jax.ShapeDtypeStruct((N, B), jnp.float32),
+            ]
+            args = [jnp.asarray(self.consts[nm]) for nm in self.names]
+            return pl.pallas_call(
+                kern, grid=grid, in_specs=in_specs,
+                out_specs=out_specs, out_shape=out_shape,
+                interpret=self.interpret,
+            )(*args, y_tr, P_row)
+
+        self.call_tr = jax.jit(call_tr)
+
+    def __call__(self, y, P):
+        y = jnp.asarray(y, jnp.float32)
+        P = jnp.asarray(P, jnp.float32)
+        B = y.shape[0]
+        pad = (-B) % self.block_b
+        if pad:
+            y = jnp.concatenate([y, jnp.repeat(y[-1:], pad, 0)], 0)
+            P = jnp.concatenate([P, jnp.repeat(P[-1:], pad, 0)], 0)
+        J_tr, f_tr = self.call_tr(y.T, P[None, :])
+        J = jnp.transpose(J_tr, (2, 0, 1))[:B]
+        f = f_tr.T[:B]
+        return J, f

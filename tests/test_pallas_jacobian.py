@@ -1,0 +1,86 @@
+"""Pallas fused Jacobian kernel vs the XLA-composed path.
+
+Runs in interpreter mode on CPU (the kernel math is identical jnp ops,
+so finite entries must agree bit-for-bit in f32); the TPU compile and
+throughput are exercised by the benchmarks.
+"""
+
+import tempfile
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pyjac_tpu.core.mech import Mechanism
+from pyjac_tpu.core.pack import pack
+from pyjac_tpu.ops.jacobian import jacobian_and_dydt
+from pyjac_tpu.ops.pallas_jacobian import PallasJacobian, supports
+from pyjac_tpu.testers.synthetic import random_states, synthetic_mechanism
+
+
+@pytest.fixture(scope='module')
+def gri_noplog():
+    text = synthetic_mechanism(n_species=53, n_reactions=325, seed=42,
+                               all_features=False)
+    with tempfile.NamedTemporaryFile('w', suffix='.inp',
+                                     delete=False) as fh:
+        fh.write(text)
+        path = fh.name
+    mech = Mechanism.from_files(path)
+    return mech, pack(mech)
+
+
+def test_supports(gri_noplog, h2o2_packed):
+    _, packed = gri_noplog
+    assert supports(packed)
+    assert supports(h2o2_packed)
+
+
+def test_matches_xla_path(gri_noplog):
+    mech, packed = gri_noplog
+    pj = PallasJacobian(packed, block_b=64, interpret=True)
+    # keep T high so the synthetic mech stays in f32 range
+    y, T, P = random_states(mech, 128, seed=1, T_range=(1500.0, 2500.0))
+    J, f = pj(y, P)
+    J_ref, f_ref = jacobian_and_dydt(packed, 0.0,
+                                     jnp.asarray(P, jnp.float32),
+                                     jnp.asarray(y, jnp.float32))
+    J, f, J_ref, f_ref = map(np.asarray, (J, f, J_ref, f_ref))
+    # the synthetic mechanism pushes f32 range; the x64-constant XLA
+    # path escapes a few overflows pure f32 cannot — compare where both
+    # are finite
+    fin = np.isfinite(J_ref) & np.isfinite(J)
+    assert fin.mean() > 0.995
+    scale = np.abs(J_ref[fin]).max()
+    # under the test suite's x64 config the XLA path keeps f64 packed
+    # constants, so agreement is at the f32 roundoff level
+    assert np.abs(J - J_ref)[fin].max() / scale < 2e-5
+    fscale = np.abs(f_ref).max()
+    assert np.abs(f - f_ref).max() / fscale < 2e-5
+
+
+def test_matches_xla_h2o2(h2o2_packed, h2o2_states):
+    """Real-mechanism check including Troe falloff and third bodies."""
+    st = h2o2_states
+    sel = np.linspace(0, len(st['T']) - 1, 64).astype(int)
+    pj = PallasJacobian(h2o2_packed, block_b=64, interpret=True)
+    J, f = pj(st['y'][sel], st['P'][sel])
+    J_ref, f_ref = jacobian_and_dydt(h2o2_packed, 0.0,
+                                     jnp.asarray(st['P'][sel],
+                                                 jnp.float32),
+                                     jnp.asarray(st['y'][sel],
+                                                 jnp.float32))
+    J, J_ref = np.asarray(J), np.asarray(J_ref)
+    scale = np.abs(J_ref).max()
+    assert np.abs(J - J_ref).max() / scale < 2e-5
+
+
+def test_unsupported_raises(tmp_path):
+    text = synthetic_mechanism(n_species=9, n_reactions=24, seed=7)
+    p = tmp_path / 'm.inp'
+    p.write_text(text)
+    mech = Mechanism.from_files(str(p))
+    packed = pack(mech)
+    assert not supports(packed)        # has PLOG/Chebyshev
+    with pytest.raises(NotImplementedError):
+        PallasJacobian(packed)
