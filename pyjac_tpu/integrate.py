@@ -137,15 +137,6 @@ def integrate(packed, y0, param, t_end, conp: bool = True,
     return IntegrateResult(out.y, out.t, out.steps, out.rejected, success)
 
 
-@partial(jax.jit, static_argnums=(0,), static_argnames=('conp', 'rtol',
-                                                        'atol'))
-def _ignition_metric(packed, y0, param, t_end, conp=True, rtol=1e-6,
-                     atol=1e-10):
-    res = integrate(packed, y0, param, t_end, conp=conp, rtol=rtol,
-                    atol=atol)
-    return res.y[:, 0], res.success
-
-
 def ignition_delay(packed, y0, param, t_end, threshold: float = 400.0,
                    conp: bool = True, n_points: int = 64,
                    rtol: float = 1e-6, atol: float = 1e-10):
@@ -157,14 +148,19 @@ def ignition_delay(packed, y0, param, t_end, threshold: float = 400.0,
     """
     import numpy as np
 
+    @jax.jit
+    def metric(y_init, par, horizon):
+        res = integrate(packed, y_init, par, horizon, conp=conp,
+                        rtol=rtol, atol=atol)
+        return res.y[:, 0]
+
     y0 = jnp.asarray(y0)
     T0 = np.asarray(y0[:, 0])
     lo = np.zeros(len(T0))
     hi = np.full(len(T0), float(t_end))
     for _ in range(int(math.log2(n_points)) + 4):
         mid = 0.5 * (lo + hi)
-        Tm, ok = _ignition_metric(packed, y0, param, jnp.asarray(mid),
-                                  conp=conp, rtol=rtol, atol=atol)
+        Tm = metric(y0, jnp.asarray(param), jnp.asarray(mid))
         ignited = np.asarray(Tm) > T0 + threshold
         hi = np.where(ignited, mid, hi)
         lo = np.where(ignited, lo, mid)

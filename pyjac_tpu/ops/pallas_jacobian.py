@@ -424,38 +424,32 @@ def _compute(meta, C_, y_tile, P_tile):
              pm * (-invT) * (C_['ordf'] * Rf - C_['ordr'] * Rr) +
              dpm_dT * qnet)
 
-    # --- P1 assembly in (R, J, B) without a D buffer -------------------------
+    # --- assembly, one reduced-species column at a time --------------------
+    # Everything stays 2-D (R, B)/(N, B): Mosaic-friendly, and each
+    # column contraction is one small (N, R) @ (R, B) MXU GEMM.
     B_T = T.shape[-1]
     pmrho = pm * rho                                   # (R, B)
-    # slot contributions: sum_s (pmrho * Dslot_s)[r, b] * W_s[r, j]
-    P1 = jnp.zeros((R, J, B_T), jnp.float32)
-    c_1 = jnp.zeros_like(kf)
     Df3 = Df_slot.reshape(Sf, R, B_T)
-    Wf3 = C_['W_f'].reshape(Sf, R, J)
-    lf = C_['last_f'].reshape(Sf, R, 1)
-    for s in range(Sf):
-        val = pmrho * Df3[s]
-        P1 = P1 + val[:, None, :] * Wf3[s][:, :, None]
-        c_1 = c_1 - val * lf[s] * C_['inv_mw_row'][0, -1]
     Dr3 = Dr_slot.reshape(Sp, R, B_T)
+    Wf3 = C_['W_f'].reshape(Sf, R, J)
     Wp3 = C_['W_p'].reshape(Sp, R, J)
+    lf = C_['last_f'].reshape(Sf, R, 1)
     lp = C_['last_p'].reshape(Sp, R, 1)
+
+    vals_f = [pmrho * Df3[s] for s in range(Sf)]       # (R, B) each
+    vals_p = [pmrho * Dr3[s] for s in range(Sp)]
+
+    c_1 = jnp.zeros_like(kf)
+    for s in range(Sf):
+        c_1 = c_1 - vals_f[s] * lf[s] * C_['inv_mw_row'][0, N - 1]
     for s in range(Sp):
-        val = pmrho * Dr3[s]
-        P1 = P1 - val[:, None, :] * Wp3[s][:, :, None]
-        c_1 = c_1 + val * lp[s] * C_['inv_mw_row'][0, -1]
-    if meta['has_pres_mod']:
-        P1 = P1 + (psi * qnet)[:, None, :] * \
-            C_['alpha_tilde'][:, :, None]
-        if meta['has_spec_pdep']:
-            P1 = P1 + (xi * qnet)[:, None, :] * \
-                C_['pd_tilde'][:, :, None]
+        c_1 = c_1 + vals_p[s] * lp[s] * C_['inv_mw_row'][0, N - 1]
 
     # rank-one coefficient on u_vec (CONP)
     c_u = (pm * (C_['ordf'] * Rf - C_['ordr'] * Rr) * (-mw_avg) +
            c_u_pm * qnet)
 
-    # --- stoichiometric contraction (the MXU GEMM) ---------------------------
+    # --- stoichiometric contractions ------------------------------------------
     q = pm * qnet
     omega = jnp.dot(C_['nu_net_T'], q,
                     preferred_element_type=jnp.float32)          # (N, B)
@@ -465,13 +459,8 @@ def _compute(meta, C_, y_tile, P_tile):
                   preferred_element_type=jnp.float32)
     v_1 = jnp.dot(C_['nu_net_T'], c_1,
                   preferred_element_type=jnp.float32)
-    M1 = jnp.dot(C_['nu_net_T'], P1.reshape(R, J * B_T),
-                 preferred_element_type=jnp.float32).reshape(N, J, B_T)
-    domega_dY = (M1 + v_u[:, None, :] * C_['u_vec'][0][None, :, None] +
-                 v_1[:, None, :])
 
-    # --- thermodynamic closure rows/cols --------------------------------------
-    r_vec = -mw_avg * C_['u_vec'].T                     # (J, B)
+    # --- thermodynamic closure -------------------------------------------------
     rho_inv = 1.0 / rho
     fk = omega * C_['mw_col'] * rho_inv                 # (N, B)
     sh = jnp.sum(cp * Y_full, axis=0, keepdims=True)    # (1, B)
@@ -479,22 +468,40 @@ def _compute(meta, C_, y_tile, P_tile):
     eW = h * C_['mw_col']                               # (N, B)
     denomT = rho * sh
     fT = -jnp.sum(eW * omega, axis=0, keepdims=True) / denomT
+    mwJ = C_['mw_col'][0:J]
+    psi_q = psi * qnet
+    xi_q = xi * qnet if meta['has_pres_mod'] and meta['has_spec_pdep'] \
+        else None
 
-    JYY = (C_['mw_col'][:-1][:, None, :] * rho_inv[None, :, :] *
-           domega_dY[:-1] - fk[:-1][:, None, :] * r_vec[None, :, :])
-    JYT = (C_['mw_col'][:-1] * rho_inv * domega_dT[:-1] -
-           fk[:-1] * (-invT))
-    heat_j = cp[:-1] - cp[-1:]
-    JTY = (-jnp.sum(eW[:, None, :] * domega_dY, axis=0) / denomT -
-           fT * (r_vec + heat_j / sh))
+    # temperature column (column 0)
+    JYT = mwJ * rho_inv * domega_dT[0:J] - fk[0:J] * (-invT)
     JTT = (-(jnp.sum(cp * C_['mw_col'] * omega, axis=0, keepdims=True) +
              jnp.sum(eW * domega_dT, axis=0, keepdims=True)) / denomT -
            fT * (-invT + dsh_dT / sh))
+    col0 = jnp.concatenate([JTT, JYT], axis=0)          # (N, B)
 
-    top = jnp.concatenate([JTT[:, None, :], JTY[None, :, :]], axis=1)
-    bottom = jnp.concatenate([JYT[:, None, :], JYY], axis=1)
-    J_out = jnp.concatenate([top, bottom], axis=0)      # (N, N, B)
-    return J_out, jnp.concatenate([fT, fk[:-1]], axis=0)
+    cols = [col0]
+    for j in range(J):
+        P1_col = jnp.zeros_like(kf)                     # (R, B)
+        for s in range(Sf):
+            P1_col = P1_col + vals_f[s] * Wf3[s][:, j:j + 1]
+        for s in range(Sp):
+            P1_col = P1_col - vals_p[s] * Wp3[s][:, j:j + 1]
+        if meta['has_pres_mod']:
+            P1_col = P1_col + psi_q * C_['alpha_tilde'][:, j:j + 1]
+            if meta['has_spec_pdep']:
+                P1_col = P1_col + xi_q * C_['pd_tilde'][:, j:j + 1]
+        dcol = jnp.dot(C_['nu_net_T'], P1_col,
+                       preferred_element_type=jnp.float32)   # (N, B)
+        dcol = dcol + v_u * C_['u_vec'][0, j] + v_1
+        r_j = -mw_avg * C_['u_vec'][0, j]                # (1, B)
+        JYY_col = mwJ * rho_inv * dcol[0:J] - fk[0:J] * r_j
+        JTY_col = (-jnp.sum(eW * dcol, axis=0, keepdims=True) / denomT -
+                   fT * (r_j + (cp[j:j + 1] - cp[J:N]) / sh))
+        cols.append(jnp.concatenate([JTY_col, JYY_col], axis=0))
+
+    J_out = jnp.stack(cols, axis=1)                      # (N, N, B)
+    return J_out, jnp.concatenate([fT, fk[0:J]], axis=0)
 
 
 class PallasJacobian:
