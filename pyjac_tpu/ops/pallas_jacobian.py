@@ -58,26 +58,28 @@ def _consts(packed, dtype=np.float32):
     J = N - 1
     f = lambda x: np.asarray(x, dtype=dtype)
 
-    # slot gather one-hots: (S*R, N) so C_slots = G @ C
-    def gather_mat(sp_idx, S):
-        G = np.zeros((S * R, N), dtype=dtype)
-        for s in range(S):
-            G[s * R + np.arange(R), sp_idx[:, s]] = 1.0
-        return G
+    # per-slot gather one-hots: (R, N) so C_slot_s = G_s @ C
+    def gather_mats(sp_idx, S):
+        out = []
+        for si in range(S):
+            G = np.zeros((R, N), dtype=dtype)
+            G[np.arange(R), sp_idx[:, si]] = 1.0
+            out.append(G)
+        return out
 
-    # slot scatter one-hots, weighted for the P1 assembly:
-    # W[s][r, j] = onehot(sp[r, s] == j) * inv_mw[j] for the reduced
-    # columns, plus a separate last-species row mask
+    # per-slot scatter weights for the P1 assembly:
+    # W_s[r, j] = onehot(sp[r, s] == j) * inv_mw[j] (reduced columns),
+    # last_s[r] = 1 when the slot hits the eliminated species
     def scatter_w(sp_idx, S):
         W = np.zeros((S, R, J), dtype=dtype)
         last = np.zeros((S, R), dtype=dtype)
-        for s in range(S):
+        for si in range(S):
             for r in range(R):
-                j = sp_idx[r, s]
+                j = sp_idx[r, si]
                 if j < J:
-                    W[s, r, j] = packed.inv_mw[j]
+                    W[si, r, j] = packed.inv_mw[j]
                 else:
-                    last[s, r] = 1.0
+                    last[si, r] = 1.0
         return W, last
 
     Wf, lastf = scatter_w(packed.reac_sp, Sf)
@@ -111,14 +113,18 @@ def _consts(packed, dtype=np.float32):
         'beta': f(packed.beta)[:, None],
         'Ta': f(packed.Ta)[:, None],
         'rev_mask': f(packed.rev_mask)[:, None],
-        'G_f': gather_mat(packed.reac_sp, Sf),             # (Sf*R, N)
-        'G_p': gather_mat(packed.prod_sp, Sp),
-        'nu_f_slot': f(packed.reac_nu.T.reshape(-1))[:, None],  # (Sf*R,1)
-        'nu_p_slot': f(packed.prod_nu.T.reshape(-1))[:, None],
-        'W_f': f(Wf.reshape(Sf * R, J)),                   # (Sf*R, J)
-        'W_p': f(Wp.reshape(Sp * R, J)),
-        'last_f': f(lastf.reshape(Sf * R))[:, None],       # (Sf*R, 1)
-        'last_p': f(lastp.reshape(Sp * R))[:, None],
+        **{'G_f%d' % i: g for i, g in
+           enumerate(gather_mats(packed.reac_sp, Sf))},    # (R, N) each
+        **{'G_p%d' % i: g for i, g in
+           enumerate(gather_mats(packed.prod_sp, Sp))},
+        **{'nu_f%d' % i: f(packed.reac_nu[:, i])[:, None]
+           for i in range(Sf)},                            # (R, 1) each
+        **{'nu_p%d' % i: f(packed.prod_nu[:, i])[:, None]
+           for i in range(Sp)},
+        **{'W_f%d' % i: f(Wf[i]) for i in range(Sf)},      # (R, J) each
+        **{'W_p%d' % i: f(Wp[i]) for i in range(Sp)},
+        **{'last_f%d' % i: f(lastf[i])[:, None] for i in range(Sf)},
+        **{'last_p%d' % i: f(lastp[i])[:, None] for i in range(Sp)},
         'ordf': f(packed.reac_nu.sum(1))[:, None],         # (R, 1)
         'ordr': f(packed.prod_nu.sum(1))[:, None],
         'u_vec': f(packed.inv_mw[:-1] - packed.inv_mw[-1])[None, :],
@@ -249,52 +255,49 @@ def _compute(meta, C_, y_tile, P_tile):
         kr = jnp.zeros_like(kf)
         dlnkr_dT = jnp.zeros_like(kf)
 
-    # --- slot products and derivatives -------------------------------------
-    def slot_products(G, nu_slot, S):
-        cg = jnp.dot(G, conc, preferred_element_type=jnp.float32)
-        # integer powers via where-chain
-        powv = jnp.where(nu_slot == 0.0, 1.0, cg)
-        acc = cg
-        for k in range(2, meta['max_nu'] + 1):
-            acc = acc * cg
-            powv = jnp.where(nu_slot >= float(k), acc, powv)
-        # exclusive product over slots: reshape (S, R, B)
-        p3 = powv.reshape(S, R, -1)
-        total = p3[0]
-        for s in range(1, S):
-            total = total * p3[s]
-        # d(C^nu)/dC = nu * C^(nu-1); exclusive prods
-        dpow = jnp.where(nu_slot == 0.0, 1.0, cg)
-        dacc = cg
-        for k in range(2, meta['max_nu']):
-            dacc = dacc * cg
-            dpow = jnp.where(nu_slot - 1.0 >= float(k), dacc, dpow)
-        dpow = jnp.where(nu_slot <= 1.0,
-                         jnp.where(nu_slot == 0.0, 0.0, 1.0), dpow)
-        dpow = nu_slot * dpow
-        # exclusive products
-        excl = []
-        for s in range(S):
-            e = None
+    # --- slot products and derivatives (all per-slot 2-D (R, B)) ----------
+    def slot_products(prefix, S):
+        cgs, pows = [], []
+        for si in range(S):
+            cg = jnp.dot(C_['G_%s%d' % (prefix, si)], conc,
+                         preferred_element_type=jnp.float32)
+            nu_s = C_['nu_%s%d' % (prefix, si)]
+            powv = jnp.where(nu_s == 0.0, 1.0, cg)
+            acc = cg
+            for k in range(2, meta['max_nu'] + 1):
+                acc = acc * cg
+                powv = jnp.where(nu_s >= float(k), acc, powv)
+            cgs.append(cg)
+            pows.append(powv)
+        total = pows[0]
+        for si in range(1, S):
+            total = total * pows[si]
+        dvals = []
+        for si in range(S):
+            cg = cgs[si]
+            nu_s = C_['nu_%s%d' % (prefix, si)]
+            dpow = jnp.where(nu_s == 0.0, 1.0, cg)
+            dacc = cg
+            for k in range(2, meta['max_nu']):
+                dacc = dacc * cg
+                dpow = jnp.where(nu_s - 1.0 >= float(k), dacc, dpow)
+            dpow = jnp.where(nu_s <= 1.0,
+                             jnp.where(nu_s == 0.0, 0.0, 1.0), dpow)
+            excl = None
             for s2 in range(S):
-                if s2 == s:
+                if s2 == si:
                     continue
-                e = p3[s2] if e is None else e * p3[s2]
-            excl.append(e if e is not None else jnp.ones_like(total))
-        excl = jnp.concatenate([e for e in excl], axis=0)  # (S*R, B)
-        return total, dpow.reshape(S * R, -1) * excl
+                excl = pows[s2] if excl is None else excl * pows[s2]
+            if excl is None:
+                excl = jnp.ones_like(total)
+            dvals.append(nu_s * dpow * excl)
+        return total, dvals
 
-    Pif, dPif = slot_products(C_['G_f'], C_['nu_f_slot'], Sf)
-    Pir, dPir = slot_products(C_['G_p'], C_['nu_p_slot'], Sp)
+    Pif, dPif = slot_products('f', Sf)
+    Pir, dPir = slot_products('p', Sp)
     Rf = kf * Pif
     Rr = kr * Pir
     qnet = Rf - Rr
-
-    # slot D values: d(Rf - Rr)/dC at each slot, (S*R, B)
-    kf_rep = jnp.concatenate([kf] * Sf, axis=0)
-    kr_rep = jnp.concatenate([kr] * Sp, axis=0)
-    Df_slot = kf_rep * dPif
-    Dr_slot = kr_rep * dPir
 
     # --- pressure modification, (R, B) --------------------------------------
     pm = jnp.ones_like(kf)
@@ -419,6 +422,14 @@ def _compute(meta, C_, y_tile, P_tile):
             xi = jnp.where((pdep > 0.5) & (sm > 0.5), Phi * ratio * rho,
                            xi)
 
+    if meta.get('debug_stage') == 'rates':
+        q0 = pm * qnet
+        om = jnp.dot(C_['nu_net_T'], q0,
+                     preferred_element_type=jnp.float32)
+        Jz = jnp.zeros((N, N, T.shape[-1]), jnp.float32) + \
+            om[:, None, :]
+        return Jz, om
+
     # --- dq/dT, (R, B) -------------------------------------------------------
     dq_dT = (pm * (Rf * dlnkf_dT - Rr * dlnkr_dT) +
              pm * (-invT) * (C_['ordf'] * Rf - C_['ordr'] * Rr) +
@@ -429,21 +440,15 @@ def _compute(meta, C_, y_tile, P_tile):
     # column contraction is one small (N, R) @ (R, B) MXU GEMM.
     B_T = T.shape[-1]
     pmrho = pm * rho                                   # (R, B)
-    Df3 = Df_slot.reshape(Sf, R, B_T)
-    Dr3 = Dr_slot.reshape(Sp, R, B_T)
-    Wf3 = C_['W_f'].reshape(Sf, R, J)
-    Wp3 = C_['W_p'].reshape(Sp, R, J)
-    lf = C_['last_f'].reshape(Sf, R, 1)
-    lp = C_['last_p'].reshape(Sp, R, 1)
-
-    vals_f = [pmrho * Df3[s] for s in range(Sf)]       # (R, B) each
-    vals_p = [pmrho * Dr3[s] for s in range(Sp)]
+    vals_f = [pmrho * kf * dPif[s] for s in range(Sf)]   # (R, B) each
+    vals_p = [pmrho * kr * dPir[s] for s in range(Sp)]
 
     c_1 = jnp.zeros_like(kf)
+    w_last = C_['inv_mw_row'][0, N - 1]
     for s in range(Sf):
-        c_1 = c_1 - vals_f[s] * lf[s] * C_['inv_mw_row'][0, N - 1]
+        c_1 = c_1 - vals_f[s] * C_['last_f%d' % s] * w_last
     for s in range(Sp):
-        c_1 = c_1 + vals_p[s] * lp[s] * C_['inv_mw_row'][0, N - 1]
+        c_1 = c_1 + vals_p[s] * C_['last_p%d' % s] * w_last
 
     # rank-one coefficient on u_vec (CONP)
     c_u = (pm * (C_['ordf'] * Rf - C_['ordr'] * Rr) * (-mw_avg) +
@@ -484,9 +489,9 @@ def _compute(meta, C_, y_tile, P_tile):
     for j in range(J):
         P1_col = jnp.zeros_like(kf)                     # (R, B)
         for s in range(Sf):
-            P1_col = P1_col + vals_f[s] * Wf3[s][:, j:j + 1]
+            P1_col = P1_col + vals_f[s] * C_['W_f%d' % s][:, j:j + 1]
         for s in range(Sp):
-            P1_col = P1_col - vals_p[s] * Wp3[s][:, j:j + 1]
+            P1_col = P1_col - vals_p[s] * C_['W_p%d' % s][:, j:j + 1]
         if meta['has_pres_mod']:
             P1_col = P1_col + psi_q * C_['alpha_tilde'][:, j:j + 1]
             if meta['has_spec_pdep']:

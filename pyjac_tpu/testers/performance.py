@@ -134,6 +134,13 @@ def _timed_eval(packed, method: str, y: np.ndarray, P: np.ndarray,
     if method == 'ajac':
         fn = jax.jit(lambda p, yy: _checksum(
             jacobian_and_dydt(packed, 0.0, p, yy)))
+    elif method == 'pallas':
+        from ..ops.pallas_jacobian import PallasJacobian, supports
+        if not supports(packed):
+            raise NotImplementedError(
+                'pallas path does not cover this mechanism')
+        pj = PallasJacobian(packed)
+        fn = jax.jit(lambda p, yy: _checksum(pj(yy, p)))
     elif method == 'ad':
         fn = jax.jit(lambda p, yy: _checksum(
             (jacobian_fwd(packed, 0.0, p, yy),)))
@@ -228,7 +235,7 @@ def main(argv=None) -> int:
                         help='Directory with per-mechanism subfolders '
                              '(mechanism file + PaSR .npy).')
     parser.add_argument('-m', '--methods', nargs='+',
-                        default=['ajac'], choices=['ajac', 'ad', 'fd'])
+                        default=['ajac'], choices=['ajac', 'ad', 'fd', 'pallas'])
     parser.add_argument('-p', '--precisions', nargs='+',
                         default=['f64'], choices=['f64', 'f32'])
     parser.add_argument('-r', '--repeats', type=int, default=10)
