@@ -43,10 +43,61 @@ _LOG10 = math.log(10.0)
 _TINY32 = 1.0e-30          # f32-range guard (reference uses 1e-300 in f64)
 
 
+def _dot(a, b):
+    """f32-exact matmul: Mosaic's default f32 dot is a single bf16 pass
+    (~4e-3 relative error); HIGHEST runs the multi-pass decomposition."""
+    return jnp.dot(a, b, precision=jax.lax.Precision.HIGHEST,
+                   preferred_element_type=jnp.float32)
+
+
+def _dot_x(a, b):
+    """Matmul whose LHS is exactly representable in bf16 (one-hot
+    selection matrices, small-integer stoichiometry).
+
+    Mosaic has no per-operand precision, so the bf16 3-way split of the
+    RHS is done by hand: b = hi + mid + lo with each term bf16-exact,
+    giving ~f32-exact results from three single-pass MXU dots (an exact
+    LHS never needs splitting).
+    """
+    # split by mantissa truncation with explicit bit ops: plain bf16
+    # cast round-trips are elided under --xla_allow_excess_precision and
+    # reduce_precision has no Mosaic lowering. Truncation (not RNE)
+    # still yields an exact 3-term decomposition, each term
+    # bf16-representable.
+    def trunc16(x):
+        u = jax.lax.bitcast_convert_type(x, jnp.uint32)
+        return jax.lax.bitcast_convert_type(
+            u & jnp.uint32(0xFFFF0000), jnp.float32)
+
+    hi = trunc16(b)
+    r1 = b - hi
+    mid = trunc16(r1)
+    lo = (r1 - mid).astype(jnp.bfloat16)
+    ab = a.astype(jnp.bfloat16)
+    out = jnp.dot(ab, hi.astype(jnp.bfloat16),
+                  preferred_element_type=jnp.float32)
+    out = out + jnp.dot(ab, mid.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)
+    return out + jnp.dot(ab, lo, preferred_element_type=jnp.float32)
+
+
+def _dot_ex(a, b):
+    """Matmul with BOTH operands exact in bf16 (one-hot x one-hot):
+    a single MXU pass with f32 accumulation is exact."""
+    return jnp.dot(a, b, precision=jax.lax.Precision.DEFAULT,
+                   preferred_element_type=jnp.float32)
+
+
 def supports(packed) -> bool:
-    """Whether this kernel covers the mechanism's reaction categories."""
-    return not (packed.has_plog or packed.has_cheb or
-                packed.has_negative_A or packed.has_frac_nu)
+    """Whether this kernel covers the mechanism's reaction categories.
+
+    PLOG / Chebyshev / negative-A / fractional stoichiometry are all
+    handled; only sign-flipping PLOG tables (negative A inside a PLOG
+    ladder) are not.
+    """
+    if packed.has_plog and bool((packed.plog_sign < 0).any()):
+        return False
+    return True
 
 
 def _consts(packed, dtype=np.float32):
@@ -71,13 +122,15 @@ def _consts(packed, dtype=np.float32):
     # W_s[r, j] = onehot(sp[r, s] == j) * inv_mw[j] (reduced columns),
     # last_s[r] = 1 when the slot hits the eliminated species
     def scatter_w(sp_idx, S):
+        # pure 0/1 masks (bf16-exact); the inv_mw[j] factor is applied
+        # as a per-column SMEM scalar in the kernel loop
         W = np.zeros((S, R, J), dtype=dtype)
         last = np.zeros((S, R), dtype=dtype)
         for si in range(S):
             for r in range(R):
                 j = sp_idx[r, si]
                 if j < J:
-                    W[si, r, j] = packed.inv_mw[j]
+                    W[si, r, j] = 1.0
                 else:
                     last[si, r] = 1.0
         return W, last
@@ -100,6 +153,40 @@ def _consts(packed, dtype=np.float32):
 
     troe = packed.troe_mask
     sri = packed.sri_mask
+
+    # PLOG / Chebyshev gathered-row constants
+    extra = {}
+    if packed.has_plog:
+        Rp, Pmax = packed.plog_lnP.shape
+        scat = np.zeros((R, Rp), dtype=dtype)
+        scat[packed.plog_idx, np.arange(Rp)] = 1.0
+        plog_mask = np.zeros((R, 1), dtype=dtype)
+        plog_mask[packed.plog_idx] = 1.0
+        extra['plog_scat'] = scat
+        extra['plog_mask'] = plog_mask
+        extra['plog_n'] = f(packed.plog_n)[:, None]
+        for k in range(Pmax):
+            extra['plog_lnP%d' % k] = f(packed.plog_lnP[:, k])[:, None]
+            extra['plog_logA%d' % k] = f(packed.plog_logA[:, k])[:, None]
+            extra['plog_beta%d' % k] = f(packed.plog_beta[:, k])[:, None]
+            extra['plog_Ta%d' % k] = f(packed.plog_Ta[:, k])[:, None]
+    if packed.has_cheb:
+        Rc = packed.cheb_coef.shape[0]
+        scat = np.zeros((R, Rc), dtype=dtype)
+        scat[packed.cheb_idx, np.arange(Rc)] = 1.0
+        cheb_mask = np.zeros((R, 1), dtype=dtype)
+        cheb_mask[packed.cheb_idx] = 1.0
+        extra['cheb_scat'] = scat
+        extra['cheb_mask'] = cheb_mask
+        extra['cheb_tsum'] = f(packed.cheb_tlim[:, 0])[:, None]
+        extra['cheb_tsub'] = f(packed.cheb_tlim[:, 1])[:, None]
+        extra['cheb_psum'] = f(packed.cheb_plim[:, 0])[:, None]
+        extra['cheb_psub'] = f(packed.cheb_plim[:, 1])[:, None]
+        NT, NP = packed.cheb_coef.shape[1:]
+        for i in range(NT):
+            for j in range(NP):
+                extra['cheb_a%d_%d' % (i, j)] = \
+                    f(packed.cheb_coef[:, i, j])[:, None]
 
     c = {
         'inv_mw_row': f(packed.inv_mw)[None, :],           # (1, N)
@@ -128,6 +215,7 @@ def _consts(packed, dtype=np.float32):
         'ordf': f(packed.reac_nu.sum(1))[:, None],         # (R, 1)
         'ordr': f(packed.prod_nu.sum(1))[:, None],
         'u_vec': f(packed.inv_mw[:-1] - packed.inv_mw[-1])[None, :],
+        'winv': f(packed.inv_mw[:-1])[None, :],            # (1, J) SMEM
         'eff_m1': f(packed.eff_m1),                        # (R, N)
         'alpha_tilde': f(alpha_tilde),                     # (R, J)
         'pd_tilde': f(pd_tilde),
@@ -156,6 +244,8 @@ def _consts(packed, dtype=np.float32):
         'sri_c': f(np.where(sri, packed.sri_par[:, 2], 1.0))[:, None],
         'sri_d': f(packed.sri_par[:, 3])[:, None],
         'sri_e': f(packed.sri_par[:, 4])[:, None],
+        'A_sign': f(packed.A_sign)[:, None],
+        **extra,
     }
     meta = {'N': N, 'R': R, 'Sf': Sf, 'Sp': Sp, 'J': J,
             'max_nu': packed.max_nu_int,
@@ -165,7 +255,14 @@ def _consts(packed, dtype=np.float32):
             'has_sri': packed.has_sri,
             'has_chemact': packed.has_chemact,
             'has_spec_pdep': packed.has_specific_pdep_sp,
-            'has_troe2': bool(packed.troe_has_T2.any())}
+            'has_troe2': bool(packed.troe_has_T2.any()),
+            'has_neg_A': packed.has_negative_A,
+            'has_frac_nu': packed.has_frac_nu,
+            'has_plog': packed.has_plog,
+            'has_cheb': packed.has_cheb,
+            'plog_P': packed.plog_lnP.shape[1] if packed.has_plog else 0,
+            'cheb_NT': packed.cheb_coef.shape[1] if packed.has_cheb else 0,
+            'cheb_NP': packed.cheb_coef.shape[2] if packed.has_cheb else 0}
     return c, meta
 
 
@@ -174,13 +271,57 @@ _CONST_ORDER = None  # filled at first build for stable arg ordering
 
 def _kernel(meta, names, *refs):
     nc = len(names)
-    const = {nm: refs[i] for i, nm in enumerate(names)}
+    cref = {nm: refs[i] for i, nm in enumerate(names)}
     y_ref, P_ref = refs[nc], refs[nc + 1]
-    J_ref, f_ref = refs[nc + 2], refs[nc + 3]
-    C_ = {nm: const[nm][...] for nm in names}
-    J_out, f_out = _compute(meta, C_, y_ref[...], P_ref[...])
-    J_ref[...] = J_out
+    J_ref, f_ref, cp_scr = refs[nc + 2], refs[nc + 3], refs[nc + 4]
+    C_ = {nm: cref[nm][...] for nm in names
+          if nm not in ('u_vec', 'winv')}
+    parts = _compute(meta, C_, y_ref[...], P_ref[...])
+    (col0, f_out, vals_f, vals_p, psi_q, xi_q, v_u, v_1, mwJ, rho_inv,
+     fk, eW, denomT, sh, cp, mw_avg, invT, fT) = parts
     f_ref[...] = f_out
+    N, J, Sf, Sp = meta['N'], meta['J'], meta['Sf'], meta['Sp']
+    # output layout: J_ref[(col, row, b)]; column 0 is the T column
+    J_ref[0] = col0
+    cp_scr[...] = cp
+    nuT = C_['nu_net_T']
+
+    cp_N = cp[J:N, :]                                   # (1, B) static
+
+    def body(j, _):
+        # dynamic lane slicing is unsupported by Mosaic on this stack;
+        # fetch column j of each (R, J) weight matrix as W @ e_j with a
+        # one-hot built from iota (cheap (R, J) @ (J, 1) matvec)
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (J, 1), 0)
+        e_j = (col_ids == j).astype(jnp.float32)         # (J, 1)
+
+        w_j = cref['winv'][0, j]                         # SMEM scalar
+
+        P1_col = vals_f[0] * _dot_ex(cref['W_f0'][...], e_j)
+        for s in range(1, Sf):
+            P1_col = P1_col + vals_f[s] * _dot_ex(
+                cref['W_f%d' % s][...], e_j)
+        for s in range(Sp):
+            P1_col = P1_col - vals_p[s] * _dot_ex(
+                cref['W_p%d' % s][...], e_j)
+        P1_col = P1_col * w_j
+        if meta['has_pres_mod']:
+            P1_col = P1_col + psi_q * _dot(cref['alpha_tilde'][...], e_j)
+            if meta['has_spec_pdep']:
+                P1_col = P1_col + xi_q * _dot(cref['pd_tilde'][...], e_j)
+        u_j = cref['u_vec'][0, j]                        # SMEM scalar
+        dcol = _dot_x(nuT, P1_col)
+        dcol = dcol + v_u * u_j + v_1
+        r_j = -mw_avg * u_j
+        cp_j = cp_scr[pl.ds(j, 1), :]                    # (1, B)
+        JYY_col = mwJ * rho_inv * dcol[0:J] - fk[0:J] * r_j
+        JTY_col = (-jnp.sum(eW * dcol, axis=0, keepdims=True) / denomT -
+                   fT * (r_j + (cp_j - cp_N) / sh))
+        J_ref[pl.ds(j + 1, 1)] = jnp.concatenate(
+            [JTY_col, JYY_col], axis=0)[None]
+        return 0
+
+    jax.lax.fori_loop(0, J, body, 0)
 
 
 def _compute(meta, C_, y_tile, P_tile):
@@ -197,8 +338,7 @@ def _compute(meta, C_, y_tile, P_tile):
 
     y_N = 1.0 - jnp.sum(Yr, axis=0, keepdims=True)   # (1, B)
     Y_full = jnp.concatenate([Yr, y_N], axis=0)      # (N, B)
-    inv_wbar = jnp.dot(C_['inv_mw_row'], Y_full,
-                       preferred_element_type=jnp.float32)   # (1, B)
+    inv_wbar = _dot(C_['inv_mw_row'], Y_full)   # (1, B)
     mw_avg = 1.0 / inv_wbar
     rho = P * mw_avg / (RU * T)
     conc = rho * Y_full * C_['inv_mw_row'].T          # (N, B)
@@ -241,14 +381,96 @@ def _compute(meta, C_, y_tile, P_tile):
 
     # --- forward/reverse rate constants, (R, B) ---------------------------
     kf = jnp.exp(C_['logA'] + C_['beta'] * logT - C_['Ta'] * invT)
+    if meta['has_neg_A']:
+        kf = kf * C_['A_sign']
     dlnkf_dT = (C_['beta'] + C_['Ta'] * invT) * invT
+    aP = jnp.zeros_like(kf)          # dln kf / dln P (PLOG/Chebyshev)
+
+    if meta['has_plog']:
+        lnP = jnp.log(P)                               # (1, B)
+        Pm = meta['plog_P']
+        lnks, dlnks = [], []
+        for k in range(Pm):
+            lnks.append(C_['plog_logA%d' % k] +
+                        C_['plog_beta%d' % k] * logT -
+                        C_['plog_Ta%d' % k] * invT)
+            dlnks.append((C_['plog_beta%d' % k] +
+                          C_['plog_Ta%d' % k] * invT) * invT)
+        cnt = jnp.zeros_like(lnks[0])
+        for k in range(Pm):
+            cnt = cnt + (lnP > C_['plog_lnP%d' % k]).astype(jnp.float32)
+        n_r = C_['plog_n']
+        idx_lo = jnp.clip(cnt - 1.0, 0.0, jnp.maximum(n_r - 2.0, 0.0))
+        idx_hi = jnp.minimum(idx_lo + 1.0, n_r - 1.0)
+
+        def sel(fields, idx):
+            out = jnp.zeros_like(fields[0])
+            for k in range(Pm):
+                out = out + jnp.where(idx == float(k), fields[k], 0.0)
+            return out
+
+        lnPs = [jnp.broadcast_to(C_['plog_lnP%d' % k], lnks[0].shape)
+                for k in range(Pm)]
+        lo, hi = sel(lnks, idx_lo), sel(lnks, idx_hi)
+        dlo, dhi = sel(dlnks, idx_lo), sel(dlnks, idx_hi)
+        P_lo, P_hi = sel(lnPs, idx_lo), sel(lnPs, idx_hi)
+        den = P_hi - P_lo
+        safe = jnp.where(den == 0.0, 1.0, den)
+        w_raw = (lnP - P_lo) / safe
+        w = jnp.clip(w_raw, 0.0, 1.0)
+        interior = ((w_raw > 0.0) & (w_raw < 1.0) &
+                    (den != 0.0)).astype(jnp.float32)
+        kf_p = jnp.exp(lo + (hi - lo) * w)
+        dlnkf_p = dlo + (dhi - dlo) * w
+        aP_p = interior * (hi - lo) / safe
+        notp = 1.0 - C_['plog_mask']
+        kf = kf * notp + _dot_x(C_['plog_scat'], kf_p)
+        dlnkf_dT = dlnkf_dT * notp + _dot(
+            C_['plog_scat'], dlnkf_p)
+        aP = aP + _dot_x(C_['plog_scat'], aP_p)
+
+    if meta['has_cheb']:
+        NT, NP = meta['cheb_NT'], meta['cheb_NP']
+        Tred = ((2.0 * invT) - C_['cheb_tsum']) / C_['cheb_tsub']
+        lgP = jnp.log(jnp.maximum(P, _TINY32)) / _LOG10
+        Pred = (2.0 * lgP - C_['cheb_psum']) / C_['cheb_psub']
+
+        def chebs(x, n):
+            ps = [jnp.ones_like(x)]
+            ds = [jnp.zeros_like(x)]
+            if n > 1:
+                ps.append(x)
+                ds.append(jnp.ones_like(x))
+            for _ in range(2, n):
+                ds.append(2.0 * ps[-1] + 2.0 * x * ds[-1] - ds[-2])
+                ps.append(2.0 * x * ps[-1] - ps[-2])
+            return ps, ds
+
+        Tp, dTp = chebs(Tred, NT)
+        Pp, dPp = chebs(Pred, NP)
+        lgk = jnp.zeros_like(Tred)
+        dlgk_dTred = jnp.zeros_like(Tred)
+        dlgk_dPred = jnp.zeros_like(Tred)
+        for i in range(NT):
+            for j in range(NP):
+                a = C_['cheb_a%d_%d' % (i, j)]
+                lgk = lgk + a * Tp[i] * Pp[j]
+                dlgk_dTred = dlgk_dTred + a * dTp[i] * Pp[j]
+                dlgk_dPred = dlgk_dPred + a * Tp[i] * dPp[j]
+        kf_c = jnp.exp(_LOG10 * lgk)
+        dTred_dT = (-2.0 * invT * invT) / C_['cheb_tsub']
+        dlnkf_c = _LOG10 * dlgk_dTred * dTred_dT
+        aP_c = _LOG10 * dlgk_dPred * (2.0 / (_LOG10 * C_['cheb_psub']))
+        notc = 1.0 - C_['cheb_mask']
+        kf = kf * notc + _dot_x(C_['cheb_scat'], kf_c)
+        dlnkf_dT = dlnkf_dT * notc + _dot(
+            C_['cheb_scat'], dlnkf_c)
+        aP = aP + _dot_x(C_['cheb_scat'], aP_c)
     if meta['has_rev']:
-        lnKc = (jnp.dot(C_['nu_net_T'].T, smh,
-                        preferred_element_type=jnp.float32) +
+        lnKc = (_dot_x(C_['nu_net_T'].T, smh) +
                 C_['sum_nu'] * (_LN_PA_RU - logT))
         kr = C_['rev_mask'] * kf * jnp.exp(-lnKc)
-        dlnKc_dT = (jnp.dot(C_['nu_net_T'].T, dsmh,
-                            preferred_element_type=jnp.float32) -
+        dlnKc_dT = (_dot_x(C_['nu_net_T'].T, dsmh) -
                     C_['sum_nu'] * invT)
         dlnkr_dT = dlnkf_dT - dlnKc_dT
     else:
@@ -259,14 +481,17 @@ def _compute(meta, C_, y_tile, P_tile):
     def slot_products(prefix, S):
         cgs, pows = [], []
         for si in range(S):
-            cg = jnp.dot(C_['G_%s%d' % (prefix, si)], conc,
-                         preferred_element_type=jnp.float32)
+            cg = _dot_x(C_['G_%s%d' % (prefix, si)], conc)
             nu_s = C_['nu_%s%d' % (prefix, si)]
-            powv = jnp.where(nu_s == 0.0, 1.0, cg)
-            acc = cg
-            for k in range(2, meta['max_nu'] + 1):
-                acc = acc * cg
-                powv = jnp.where(nu_s >= float(k), acc, powv)
+            if meta['has_frac_nu']:
+                lc = jnp.log(jnp.maximum(cg, _TINY32))
+                powv = jnp.where(nu_s == 0.0, 1.0, jnp.exp(nu_s * lc))
+            else:
+                powv = jnp.where(nu_s == 0.0, 1.0, cg)
+                acc = cg
+                for k in range(2, meta['max_nu'] + 1):
+                    acc = acc * cg
+                    powv = jnp.where(nu_s >= float(k), acc, powv)
             cgs.append(cg)
             pows.append(powv)
         total = pows[0]
@@ -276,13 +501,18 @@ def _compute(meta, C_, y_tile, P_tile):
         for si in range(S):
             cg = cgs[si]
             nu_s = C_['nu_%s%d' % (prefix, si)]
-            dpow = jnp.where(nu_s == 0.0, 1.0, cg)
-            dacc = cg
-            for k in range(2, meta['max_nu']):
-                dacc = dacc * cg
-                dpow = jnp.where(nu_s - 1.0 >= float(k), dacc, dpow)
-            dpow = jnp.where(nu_s <= 1.0,
-                             jnp.where(nu_s == 0.0, 0.0, 1.0), dpow)
+            if meta['has_frac_nu']:
+                lc = jnp.log(jnp.maximum(cg, _TINY32))
+                dpow = jnp.where(nu_s == 0.0, 0.0,
+                                 jnp.exp((nu_s - 1.0) * lc))
+            else:
+                dpow = jnp.where(nu_s == 0.0, 1.0, cg)
+                dacc = cg
+                for k in range(2, meta['max_nu']):
+                    dacc = dacc * cg
+                    dpow = jnp.where(nu_s - 1.0 >= float(k), dacc, dpow)
+                dpow = jnp.where(nu_s <= 1.0,
+                                 jnp.where(nu_s == 0.0, 0.0, 1.0), dpow)
             excl = None
             for s2 in range(S):
                 if s2 == si:
@@ -307,8 +537,7 @@ def _compute(meta, C_, y_tile, P_tile):
     xi = jnp.zeros_like(kf)
     if meta['has_pres_mod']:
         m_tb = P / (RU * T)                           # (1, B)
-        thd = m_tb + jnp.dot(C_['eff_m1'], conc,
-                             preferred_element_type=jnp.float32)
+        thd = m_tb + _dot(C_['eff_m1'], conc)
         tm = C_['thd_mask']
         pm = pm + tm * (thd - 1.0)
         dpm_dT = dpm_dT + tm * (-thd * invT)
@@ -336,8 +565,7 @@ def _compute(meta, C_, y_tile, P_tile):
             kinf = kf
             dlnkinf = dlnkf_dT
         if meta['has_spec_pdep']:
-            c_pd = jnp.dot(C_['pd_onehot'], conc,
-                           preferred_element_type=jnp.float32)
+            c_pd = _dot_x(C_['pd_onehot'], conc)
             sm = C_['spec_mask']
             X = jnp.where(sm > 0.5, c_pd, thd)
         else:
@@ -422,14 +650,6 @@ def _compute(meta, C_, y_tile, P_tile):
             xi = jnp.where((pdep > 0.5) & (sm > 0.5), Phi * ratio * rho,
                            xi)
 
-    if meta.get('debug_stage') == 'rates':
-        q0 = pm * qnet
-        om = jnp.dot(C_['nu_net_T'], q0,
-                     preferred_element_type=jnp.float32)
-        Jz = jnp.zeros((N, N, T.shape[-1]), jnp.float32) + \
-            om[:, None, :]
-        return Jz, om
-
     # --- dq/dT, (R, B) -------------------------------------------------------
     dq_dT = (pm * (Rf * dlnkf_dT - Rr * dlnkr_dT) +
              pm * (-invT) * (C_['ordf'] * Rf - C_['ordr'] * Rr) +
@@ -456,14 +676,10 @@ def _compute(meta, C_, y_tile, P_tile):
 
     # --- stoichiometric contractions ------------------------------------------
     q = pm * qnet
-    omega = jnp.dot(C_['nu_net_T'], q,
-                    preferred_element_type=jnp.float32)          # (N, B)
-    domega_dT = jnp.dot(C_['nu_net_T'], dq_dT,
-                        preferred_element_type=jnp.float32)
-    v_u = jnp.dot(C_['nu_net_T'], c_u,
-                  preferred_element_type=jnp.float32)
-    v_1 = jnp.dot(C_['nu_net_T'], c_1,
-                  preferred_element_type=jnp.float32)
+    omega = _dot_x(C_['nu_net_T'], q)          # (N, B)
+    domega_dT = _dot_x(C_['nu_net_T'], dq_dT)
+    v_u = _dot_x(C_['nu_net_T'], c_u)
+    v_1 = _dot_x(C_['nu_net_T'], c_1)
 
     # --- thermodynamic closure -------------------------------------------------
     rho_inv = 1.0 / rho
@@ -475,8 +691,7 @@ def _compute(meta, C_, y_tile, P_tile):
     fT = -jnp.sum(eW * omega, axis=0, keepdims=True) / denomT
     mwJ = C_['mw_col'][0:J]
     psi_q = psi * qnet
-    xi_q = xi * qnet if meta['has_pres_mod'] and meta['has_spec_pdep'] \
-        else None
+    xi_q = xi * qnet
 
     # temperature column (column 0)
     JYT = mwJ * rho_inv * domega_dT[0:J] - fk[0:J] * (-invT)
@@ -484,29 +699,10 @@ def _compute(meta, C_, y_tile, P_tile):
              jnp.sum(eW * domega_dT, axis=0, keepdims=True)) / denomT -
            fT * (-invT + dsh_dT / sh))
     col0 = jnp.concatenate([JTT, JYT], axis=0)          # (N, B)
+    f_out = jnp.concatenate([fT, fk[0:J]], axis=0)
 
-    cols = [col0]
-    for j in range(J):
-        P1_col = jnp.zeros_like(kf)                     # (R, B)
-        for s in range(Sf):
-            P1_col = P1_col + vals_f[s] * C_['W_f%d' % s][:, j:j + 1]
-        for s in range(Sp):
-            P1_col = P1_col - vals_p[s] * C_['W_p%d' % s][:, j:j + 1]
-        if meta['has_pres_mod']:
-            P1_col = P1_col + psi_q * C_['alpha_tilde'][:, j:j + 1]
-            if meta['has_spec_pdep']:
-                P1_col = P1_col + xi_q * C_['pd_tilde'][:, j:j + 1]
-        dcol = jnp.dot(C_['nu_net_T'], P1_col,
-                       preferred_element_type=jnp.float32)   # (N, B)
-        dcol = dcol + v_u * C_['u_vec'][0, j] + v_1
-        r_j = -mw_avg * C_['u_vec'][0, j]                # (1, B)
-        JYY_col = mwJ * rho_inv * dcol[0:J] - fk[0:J] * r_j
-        JTY_col = (-jnp.sum(eW * dcol, axis=0, keepdims=True) / denomT -
-                   fT * (r_j + (cp[j:j + 1] - cp[J:N]) / sh))
-        cols.append(jnp.concatenate([JTY_col, JYY_col], axis=0))
-
-    J_out = jnp.stack(cols, axis=1)                      # (N, N, B)
-    return J_out, jnp.concatenate([fT, fk[0:J]], axis=0)
+    return (col0, f_out, vals_f, vals_p, psi_q, xi_q, v_u, v_1, mwJ,
+            rho_inv, fk, eW, denomT, sh, cp, mw_avg, invT, fT)
 
 
 class PallasJacobian:
@@ -514,8 +710,9 @@ class PallasJacobian:
 
     ``__call__(y, P)`` takes the standard batch-major (B, N) states and
     returns (J, f) batch-major; ``call_tr`` takes/returns the native
-    batch-minor layout (N, B) -> ((N, N, B), (N, B)) with no transposes
-    for benchmarking the pure kernel.
+    batch-minor layout: states (N, B) -> (J_cols (N, N, B) in
+    (column, row, batch) order, dydt (N, B)) with no transposes, for
+    benchmarking the pure kernel.
     """
 
     def __init__(self, packed, block_b: int = 64, interpret: bool = False):
@@ -540,7 +737,8 @@ class PallasJacobian:
                 pl.BlockSpec(self.consts[nm].shape,
                              (lambda nd: (lambda i: (0,) * nd))(
                                  self.consts[nm].ndim),
-                             memory_space=pltpu.VMEM)
+                             memory_space=(pltpu.SMEM if nm in ('u_vec', 'winv')
+                                           else pltpu.VMEM))
                 for nm in self.names]
             in_specs = const_specs + [
                 pl.BlockSpec((N, block_b), lambda i: (0, i),
@@ -555,6 +753,7 @@ class PallasJacobian:
                              memory_space=pltpu.VMEM),
             ]
             out_shape = [
+                # layout: (column, row, batch); column 0 = temperature
                 jax.ShapeDtypeStruct((N, N, B), jnp.float32),
                 jax.ShapeDtypeStruct((N, B), jnp.float32),
             ]
@@ -562,6 +761,7 @@ class PallasJacobian:
             return pl.pallas_call(
                 kern, grid=grid, in_specs=in_specs,
                 out_specs=out_specs, out_shape=out_shape,
+                scratch_shapes=[pltpu.VMEM((N, block_b), jnp.float32)],
                 interpret=self.interpret,
             )(*args, y_tr, P_row)
 
@@ -576,6 +776,7 @@ class PallasJacobian:
             y = jnp.concatenate([y, jnp.repeat(y[-1:], pad, 0)], 0)
             P = jnp.concatenate([P, jnp.repeat(P[-1:], pad, 0)], 0)
         J_tr, f_tr = self.call_tr(y.T, P[None, :])
-        J = jnp.transpose(J_tr, (2, 0, 1))[:B]
+        # kernel layout is (column, row, batch) -> (batch, row, column)
+        J = jnp.transpose(J_tr, (2, 1, 0))[:B]
         f = f_tr.T[:B]
         return J, f

@@ -75,12 +75,22 @@ def test_matches_xla_h2o2(h2o2_packed, h2o2_states):
     assert np.abs(J - J_ref).max() / scale < 2e-5
 
 
-def test_unsupported_raises(tmp_path):
+def test_all_features_mechanism(tmp_path):
+    """PLOG + Chebyshev + SRI + chem-activated + fractional nu rows."""
     text = synthetic_mechanism(n_species=9, n_reactions=24, seed=7)
     p = tmp_path / 'm.inp'
     p.write_text(text)
     mech = Mechanism.from_files(str(p))
     packed = pack(mech)
-    assert not supports(packed)        # has PLOG/Chebyshev
-    with pytest.raises(NotImplementedError):
-        PallasJacobian(packed)
+    assert supports(packed)
+    pj = PallasJacobian(packed, block_b=64, interpret=True)
+    y, T, P = random_states(mech, 64, seed=3)
+    J, f = pj(y, P)
+    J_ref, f_ref = jacobian_and_dydt(packed, 0.0,
+                                     jnp.asarray(P, jnp.float32),
+                                     jnp.asarray(y, jnp.float32))
+    J, J_ref = np.asarray(J), np.asarray(J_ref)
+    fin = np.isfinite(J_ref) & np.isfinite(J)
+    assert fin.mean() > 0.99
+    scale = np.abs(J_ref[fin]).max()
+    assert np.abs(J - J_ref)[fin].max() / scale < 2e-5
