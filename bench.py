@@ -68,6 +68,30 @@ def main():
     print('times per %d-state pass: %s' %
           (total, ['%.3f' % t for t in times]), file=sys.stderr)
 
+    # secondary (stderr): the Pallas fused kernel in f32 — the
+    # throughput configuration; the headline stays f64, the precision
+    # that meets the 1e-8 parity bar
+    try:
+        from pyjac_tpu.ops.pallas_jacobian import PallasJacobian, supports
+        if supports(packed):
+            pj = PallasJacobian(packed, block_b=128)
+            Bp = 262144
+            yp, _, Pp = random_states(mech, Bp, seed=1,
+                                      T_range=(1500.0, 2500.0))
+            ytr = jnp.asarray(yp.T, jnp.float32)
+            Prow = jnp.asarray(Pp[None], jnp.float32)
+            fnp = jax.jit(lambda yt, pr: [jnp.nansum(x)
+                                          for x in pj.call_tr(yt, pr)])
+            float(fnp(ytr, Prow)[0])
+            t0 = time.time()
+            pend = [fnp(ytr, Prow) for _ in range(6)]
+            float(sum(p[0] for p in pend))
+            dtp = (time.time() - t0) / 6
+            print('pallas f32 kernel: %.0f evals/s/chip (B=%d)' %
+                  (Bp / dtp, Bp), file=sys.stderr)
+    except Exception as e:        # keep the headline metric robust
+        print('pallas secondary bench skipped: %s' % e, file=sys.stderr)
+
     target = 1.0e6      # BASELINE.json north star
     print(json.dumps({
         'metric': 'gri_scale_jacobian_dydt_throughput_f64',
