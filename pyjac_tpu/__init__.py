@@ -30,6 +30,7 @@ from .core.pack import PackedMechanism, pack
 from .ops.dydt import dydt, dydt_conp, dydt_conv, split_state
 from .ops.jacobian import (eval_jacobian, jacobian_fwd,
                            jacobian_vector_product)
+from .ops.pallas_jacobian import PallasJacobian
 from .ops.rates import (compact_pres_mod, compact_rev, eval_kc, eval_kf,
                         eval_rxn_rates, eval_spec_rates, get_rxn_pres_mod,
                         rates_of_progress, third_body_concentrations)
@@ -39,7 +40,8 @@ from .ops.thermo import (eval_conc, eval_conc_rho, eval_cp, eval_cv,
 __version__ = '0.1.0'
 
 __all__ = [
-    'Mechanism', 'MechanismError', 'PackedMechanism', 'Reaction',
+    'Mechanism', 'MechanismError', 'PackedMechanism', 'PallasJacobian',
+    'Reaction',
     'Species', 'compact_pres_mod', 'compact_rev', 'dydt', 'dydt_conp',
     'dydt_conv', 'eval_conc', 'eval_conc_rho', 'eval_cp', 'eval_cv',
     'eval_h', 'eval_jacobian', 'eval_kc', 'eval_kf', 'eval_rxn_rates',

@@ -715,11 +715,16 @@ class PallasJacobian:
     benchmarking the pure kernel.
     """
 
-    def __init__(self, packed, block_b: int = 64, interpret: bool = False):
+    def __init__(self, packed, block_b: int = 128,
+                 interpret: bool = False, conp: bool = True):
+        if not conp:
+            raise NotImplementedError(
+                'the Pallas kernel currently covers CONP only; use '
+                'ops.jacobian.eval_jacobian(conp=False)')
         if not supports(packed):
             raise NotImplementedError(
-                'PLOG/Chebyshev/negative-A/fractional-nu rows: use the '
-                'XLA path (ops.jacobian.eval_jacobian)')
+                'sign-flipping PLOG tables: use the XLA path '
+                '(ops.jacobian.eval_jacobian)')
         self.packed = packed
         self.block_b = block_b
         self.interpret = interpret

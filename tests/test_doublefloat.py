@@ -1,0 +1,81 @@
+"""Double-float primitive tests: ~2^-48 precision from f32 pairs."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pyjac_tpu.ops import doublefloat as dd
+
+
+@pytest.fixture(scope='module')
+def rnd():
+    rng = np.random.default_rng(3)
+    a = rng.uniform(-1e6, 1e6, size=256)
+    b = rng.uniform(-1e6, 1e6, size=256)
+    return a, b
+
+
+def _err(got_dd, want64):
+    got = np.asarray(dd.dd_to_f64(got_dd))
+    return np.abs((got - want64) / np.maximum(np.abs(want64), 1e-300)).max()
+
+
+def test_two_sum_exact(rnd):
+    a, b = rnd
+    s = dd.two_sum(jnp.asarray(a, jnp.float32), jnp.asarray(b, jnp.float32))
+    a32 = a.astype(np.float32).astype(np.float64)
+    b32 = b.astype(np.float32).astype(np.float64)
+    np.testing.assert_array_equal(
+        np.asarray(s.hi).astype(np.float64) +
+        np.asarray(s.lo).astype(np.float64), a32 + b32)
+
+
+def test_two_prod_exact(rnd):
+    a, b = rnd
+    p = dd.two_prod(jnp.asarray(a, jnp.float32),
+                    jnp.asarray(b, jnp.float32))
+    a32 = a.astype(np.float32).astype(np.float64)
+    b32 = b.astype(np.float32).astype(np.float64)
+    np.testing.assert_array_equal(
+        np.asarray(p.hi).astype(np.float64) +
+        np.asarray(p.lo).astype(np.float64), a32 * b32)
+
+
+def test_dd_mul_add_precision(rnd):
+    a, b = rnd
+    x = dd.dd_from(a)
+    y = dd.dd_from(b)
+    a32 = a.astype(np.float32).astype(np.float64)
+    b32 = b.astype(np.float32).astype(np.float64)
+    assert _err(dd.dd_add(x, y), a32 + b32) < 1e-13
+    assert _err(dd.dd_mul(x, y), a32 * b32) < 1e-13
+    assert _err(dd.dd_div(x, y), a32 / b32) < 1e-13
+
+
+def test_dd_sum_beats_f32():
+    """Compensated reduction keeps ~2^-48; plain f32 loses to 2^-24."""
+    rng = np.random.default_rng(0)
+    vals = rng.uniform(0.0, 1.0, size=(326, 64))
+    want = vals.astype(np.float32).astype(np.float64).sum(axis=0)
+    hi = jnp.asarray(vals, jnp.float32)
+    lo = jnp.zeros_like(hi)
+    got = dd.dd_sum(hi, lo, axis=0)
+    err_dd = np.abs(np.asarray(dd.dd_to_f64(got)) - want).max() / \
+        np.abs(want).max()
+    err_f32 = np.abs(np.asarray(hi.sum(0), dtype=np.float64) -
+                     want).max() / np.abs(want).max()
+    assert err_dd < 1e-12
+    assert err_dd < err_f32 / 100
+
+
+def test_dd_cancellation():
+    """(a + tiny) - a recovers tiny exactly in dd, zero in f32."""
+    a = dd.dd_from(jnp.asarray([1.0e8], jnp.float32))
+    tiny = dd.dd_from(jnp.asarray([1.0e-3], jnp.float32))
+    s = dd.dd_sub(dd.dd_add(a, tiny), a)
+    got = float(np.asarray(dd.dd_to_f64(s))[0])
+    # recovers the f32-rounded tiny exactly
+    assert got == pytest.approx(float(np.float32(1.0e-3)), rel=1e-12)
+    # plain f32 loses it completely
+    assert float((jnp.float32(1e8) + jnp.float32(1e-3)) -
+                 jnp.float32(1e8)) == 0.0
