@@ -15,6 +15,8 @@ import json
 import sys
 import time
 
+sys.setrecursionlimit(100000)   # deep Pallas kernel traces
+
 import numpy as np
 
 

@@ -40,7 +40,10 @@ from ..core.constants import PA, RU
 
 _LN_PA_RU = math.log(PA / RU)
 _LOG10 = math.log(10.0)
-_TINY32 = 1.0e-30          # f32-range guard (reference uses 1e-300 in f64)
+_TINY32 = np.float32(1.0e-30)    # f32-range guard (1e-300 in the f64 ref)
+_F0 = np.float32(0.0)
+_F1 = np.float32(1.0)
+_FM1 = np.float32(-1.0)
 
 
 def _dot(a, b):
@@ -319,9 +322,11 @@ def _kernel(meta, names, *refs):
                    fT * (r_j + (cp_j - cp_N) / sh))
         J_ref[pl.ds(j + 1, 1)] = jnp.concatenate(
             [JTY_col, JYY_col], axis=0)[None]
-        return 0
+        return _
 
-    jax.lax.fori_loop(0, J, body, 0)
+    # int32 bounds: under jax_enable_x64 a python-int loop index turns
+    # int64, which Mosaic's conversion helper cannot lower (it recurses)
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(J), body, jnp.int32(0))
 
 
 def _compute(meta, C_, y_tile, P_tile):
@@ -400,13 +405,13 @@ def _compute(meta, C_, y_tile, P_tile):
         for k in range(Pm):
             cnt = cnt + (lnP > C_['plog_lnP%d' % k]).astype(jnp.float32)
         n_r = C_['plog_n']
-        idx_lo = jnp.clip(cnt - 1.0, 0.0, jnp.maximum(n_r - 2.0, 0.0))
+        idx_lo = jnp.clip(cnt - 1.0, _F0, jnp.maximum(n_r - 2.0, _F0))
         idx_hi = jnp.minimum(idx_lo + 1.0, n_r - 1.0)
 
         def sel(fields, idx):
             out = jnp.zeros_like(fields[0])
             for k in range(Pm):
-                out = out + jnp.where(idx == float(k), fields[k], 0.0)
+                out = out + jnp.where(idx == np.float32(k), fields[k], _F0)
             return out
 
         lnPs = [jnp.broadcast_to(C_['plog_lnP%d' % k], lnks[0].shape)
@@ -415,9 +420,9 @@ def _compute(meta, C_, y_tile, P_tile):
         dlo, dhi = sel(dlnks, idx_lo), sel(dlnks, idx_hi)
         P_lo, P_hi = sel(lnPs, idx_lo), sel(lnPs, idx_hi)
         den = P_hi - P_lo
-        safe = jnp.where(den == 0.0, 1.0, den)
+        safe = jnp.where(den == 0.0, _F1, den)
         w_raw = (lnP - P_lo) / safe
-        w = jnp.clip(w_raw, 0.0, 1.0)
+        w = jnp.clip(w_raw, _F0, _F1)
         interior = ((w_raw > 0.0) & (w_raw < 1.0) &
                     (den != 0.0)).astype(jnp.float32)
         kf_p = jnp.exp(lo + (hi - lo) * w)
@@ -485,9 +490,9 @@ def _compute(meta, C_, y_tile, P_tile):
             nu_s = C_['nu_%s%d' % (prefix, si)]
             if meta['has_frac_nu']:
                 lc = jnp.log(jnp.maximum(cg, _TINY32))
-                powv = jnp.where(nu_s == 0.0, 1.0, jnp.exp(nu_s * lc))
+                powv = jnp.where(nu_s == 0.0, _F1, jnp.exp(nu_s * lc))
             else:
-                powv = jnp.where(nu_s == 0.0, 1.0, cg)
+                powv = jnp.where(nu_s == 0.0, _F1, cg)
                 acc = cg
                 for k in range(2, meta['max_nu'] + 1):
                     acc = acc * cg
@@ -503,16 +508,16 @@ def _compute(meta, C_, y_tile, P_tile):
             nu_s = C_['nu_%s%d' % (prefix, si)]
             if meta['has_frac_nu']:
                 lc = jnp.log(jnp.maximum(cg, _TINY32))
-                dpow = jnp.where(nu_s == 0.0, 0.0,
+                dpow = jnp.where(nu_s == 0.0, _F0,
                                  jnp.exp((nu_s - 1.0) * lc))
             else:
-                dpow = jnp.where(nu_s == 0.0, 1.0, cg)
+                dpow = jnp.where(nu_s == 0.0, _F1, cg)
                 dacc = cg
                 for k in range(2, meta['max_nu']):
                     dacc = dacc * cg
                     dpow = jnp.where(nu_s - 1.0 >= float(k), dacc, dpow)
                 dpow = jnp.where(nu_s <= 1.0,
-                                 jnp.where(nu_s == 0.0, 0.0, 1.0), dpow)
+                                 jnp.where(nu_s == 0.0, _F0, _F1), dpow)
             excl = None
             for s2 in range(S):
                 if s2 == si:
@@ -575,8 +580,8 @@ def _compute(meta, C_, y_tile, P_tile):
         Pr = ratio * X
         L = jnp.log(jnp.maximum(Pr, _TINY32)) / _LOG10
         dL_dPr = jnp.where(Pr > _TINY32,
-                           1.0 / (_LOG10 * jnp.maximum(Pr, _TINY32)),
-                           0.0)
+                           _F1 / (_LOG10 * jnp.maximum(Pr, _TINY32)),
+                           _F0)
         F = jnp.ones_like(Pr)
         dF_dT = jnp.zeros_like(Pr)
         dF_dL = jnp.zeros_like(Pr)
@@ -594,7 +599,7 @@ def _compute(meta, C_, y_tile, P_tile):
             cc = jnp.log(jnp.maximum(Fc, _TINY32)) / _LOG10
             dcc = jnp.where(Fc > _TINY32,
                             dFc / (_LOG10 * jnp.maximum(Fc, _TINY32)),
-                            0.0)
+                            _F0)
             A_ = L - 0.67 * cc - 0.4
             B_ = 0.806 - 1.1762 * cc - 0.14 * L
             AB = A_ / B_
@@ -628,8 +633,8 @@ def _compute(meta, C_, y_tile, P_tile):
                               Fs * jnp.log(base) *
                               (-2.0 * L * Xs * Xs), dF_dL)
 
-        G_ = jnp.where(fall > 0.5, Pr / (1.0 + Pr), 1.0 / (1.0 + Pr))
-        dG_dPr = jnp.where(fall > 0.5, 1.0, -1.0) / ((1.0 + Pr) *
+        G_ = jnp.where(fall > 0.5, Pr / (1.0 + Pr), _F1 / (1.0 + Pr))
+        dG_dPr = jnp.where(fall > 0.5, _F1, _FM1) / ((1.0 + Pr) *
                                                      (1.0 + Pr))
         Phi = F * dG_dPr + G_ * dF_dL * dL_dPr
         dPr_dT = Pr * (dlnk0 - dlnkinf - invT)       # CONP: dlnX/dT=-1/T
@@ -644,7 +649,7 @@ def _compute(meta, C_, y_tile, P_tile):
             cu_X = jnp.broadcast_to(cu_mix, kf.shape)
         c_u_pm = jnp.where(pdep > 0.5, Phi * ratio * cu_X, c_u_pm)
         psi = jnp.where(pdep > 0.5,
-                        jnp.where(sm > 0.5, 0.0, Phi * ratio * rho),
+                        jnp.where(sm > 0.5, _F0, Phi * ratio * rho),
                         psi)
         if meta['has_spec_pdep']:
             xi = jnp.where((pdep > 0.5) & (sm > 0.5), Phi * ratio * rho,
@@ -715,7 +720,7 @@ class PallasJacobian:
     benchmarking the pure kernel.
     """
 
-    def __init__(self, packed, block_b: int = 128,
+    def __init__(self, packed, block_b: int = 0,
                  interpret: bool = False, conp: bool = True):
         if not conp:
             raise NotImplementedError(
@@ -726,6 +731,12 @@ class PallasJacobian:
                 'sign-flipping PLOG tables: use the XLA path '
                 '(ops.jacobian.eval_jacobian)')
         self.packed = packed
+        if block_b <= 0:
+            # largest state tile whose (R, block) working set fits the
+            # ~100 MB scoped-VMEM budget (measured: GRI R=326 fits 1024)
+            import math as _math
+            block_b = 2 ** int(_math.log2(
+                max(128, min(1024, 1.0e8 / (packed.n_reactions * 240)))))
         self.block_b = block_b
         self.interpret = interpret
         self.consts, self.meta = _consts(packed)
@@ -738,23 +749,26 @@ class PallasJacobian:
         def call_tr(y_tr, P_row):
             B = y_tr.shape[-1]
             grid = (B // block_b,)
+            # index maps derive zeros from the grid index so their
+            # dtype follows it (python-int zeros turn i64 under
+            # jax_enable_x64, which Mosaic cannot legalize)
             const_specs = [
                 pl.BlockSpec(self.consts[nm].shape,
-                             (lambda nd: (lambda i: (0,) * nd))(
+                             (lambda nd: (lambda i: (i * 0,) * nd))(
                                  self.consts[nm].ndim),
                              memory_space=(pltpu.SMEM if nm in ('u_vec', 'winv')
                                            else pltpu.VMEM))
                 for nm in self.names]
             in_specs = const_specs + [
-                pl.BlockSpec((N, block_b), lambda i: (0, i),
+                pl.BlockSpec((N, block_b), lambda i: (i * 0, i),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, block_b), lambda i: (0, i),
+                pl.BlockSpec((1, block_b), lambda i: (i * 0, i),
                              memory_space=pltpu.VMEM),
             ]
             out_specs = [
-                pl.BlockSpec((N, N, block_b), lambda i: (0, 0, i),
+                pl.BlockSpec((N, N, block_b), lambda i: (i * 0, i * 0, i),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((N, block_b), lambda i: (0, i),
+                pl.BlockSpec((N, block_b), lambda i: (i * 0, i),
                              memory_space=pltpu.VMEM),
             ]
             out_shape = [
@@ -768,6 +782,8 @@ class PallasJacobian:
                 out_specs=out_specs, out_shape=out_shape,
                 scratch_shapes=[pltpu.VMEM((N, block_b), jnp.float32)],
                 interpret=self.interpret,
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=100 * 1024 * 1024),
             )(*args, y_tr, P_row)
 
         self.call_tr = jax.jit(call_tr)

@@ -73,3 +73,20 @@ def test_graft_entry_dryrun():
     J, f = jax.jit(fn)(*args)
     assert J.shape == (64, 53, 53)
     dryrun_multichip(8)
+
+
+def test_batch_evaluator_pallas(h2o2_packed, h2o2_states):
+    """Pallas path through the sharded evaluator (interpret off; runs
+    the kernel via pallas_call CPU lowering in interpret-free mode is
+    TPU-only, so force interpret here via the instance)."""
+    from pyjac_tpu.ops.pallas_jacobian import PallasJacobian
+    st = h2o2_states
+    y = st['y'][:64]
+    P = st['P'][:64]
+    pj = PallasJacobian(h2o2_packed, interpret=True)
+    J, f = pj(y, P)
+    ev = BatchEvaluator(h2o2_packed, make_mesh(1), chunk_size=64)
+    J_ref, f_ref = ev.jacobian(y, P)
+    scale = np.abs(J_ref).max()
+    assert np.abs(np.asarray(J, dtype=np.float64) -
+                  J_ref).max() / scale < 2e-5
