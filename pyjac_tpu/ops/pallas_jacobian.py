@@ -250,7 +250,14 @@ def _consts(packed, dtype=np.float32):
         'A_sign': f(packed.A_sign)[:, None],
         **extra,
     }
+    frac_f = [bool((packed.reac_nu[:, i] !=
+                    np.round(packed.reac_nu[:, i])).any())
+              for i in range(Sf)]
+    frac_p = [bool((packed.prod_nu[:, i] !=
+                    np.round(packed.prod_nu[:, i])).any())
+              for i in range(Sp)]
     meta = {'N': N, 'R': R, 'Sf': Sf, 'Sp': Sp, 'J': J,
+            'frac_f': frac_f, 'frac_p': frac_p,
             'max_nu': packed.max_nu_int,
             'has_rev': packed.has_rev,
             'has_pres_mod': packed.has_pres_mod,
@@ -488,7 +495,7 @@ def _compute(meta, C_, y_tile, P_tile):
         for si in range(S):
             cg = _dot_x(C_['G_%s%d' % (prefix, si)], conc)
             nu_s = C_['nu_%s%d' % (prefix, si)]
-            if meta['has_frac_nu']:
+            if meta['frac_%s' % prefix][si]:
                 lc = jnp.log(jnp.maximum(cg, _TINY32))
                 powv = jnp.where(nu_s == 0.0, _F1, jnp.exp(nu_s * lc))
             else:
@@ -506,7 +513,7 @@ def _compute(meta, C_, y_tile, P_tile):
         for si in range(S):
             cg = cgs[si]
             nu_s = C_['nu_%s%d' % (prefix, si)]
-            if meta['has_frac_nu']:
+            if meta['frac_%s' % prefix][si]:
                 lc = jnp.log(jnp.maximum(cg, _TINY32))
                 dpow = jnp.where(nu_s == 0.0, _F0,
                                  jnp.exp((nu_s - 1.0) * lc))
