@@ -121,3 +121,20 @@ def test_conv_dydt_golden(h2o2_inp):
                        np.abs(ref).max(-1, keepdims=True) * 1e-6 + 1e-300)
     err = (np.abs(f - ref) / denom).max()
     assert err < 1e-8, 'CONV dydt error %.3e' % err
+
+
+def test_pallas_kernel_vs_reference_c(golden, h2o2_inp):
+    """The f32 Pallas kernel against the reference's f64 generated C:
+    agreement at f32 roundoff relative to per-state Jacobian scale."""
+    from pyjac_tpu.ops.pallas_jacobian import PallasJacobian
+    mech = Mechanism.from_files(h2o2_inp)
+    packed = pack(mech)
+    pj = PallasJacobian(packed, interpret=True)
+    J, f = pj(golden['y'], golden['P'])
+    n = len(golden['T'])
+    J = np.asarray(J, dtype=np.float64).transpose(0, 2, 1).reshape(n, -1)
+    ref = golden['ref_jac']
+    scale = np.abs(ref).max(axis=-1, keepdims=True)
+    err = (np.abs(J - ref) / np.maximum(np.abs(ref),
+                                        1e-3 * scale)).max()
+    assert err < 1e-3, 'pallas vs reference C: %.3e' % err
