@@ -100,7 +100,14 @@ def supports(packed) -> bool:
     """
     if packed.has_plog and bool((packed.plog_sign < 0).any()):
         return False
-    return True
+    # the one-hot gather/scatter constants scale as R*N; beyond ~50 MB
+    # of VMEM constants the kernel cannot stage them (n-heptane-class
+    # mechanisms need the blocked assembly on the roadmap)
+    R, N = packed.n_reactions, packed.n_species
+    Sf = packed.reac_sp.shape[1]
+    Sp = packed.prod_sp.shape[1]
+    const_bytes = 4 * R * (N * (Sf + Sp + 3) + (N - 1) * (Sf + Sp + 2))
+    return const_bytes < 50 * 1024 * 1024
 
 
 def _consts(packed, dtype=np.float32):
@@ -740,10 +747,11 @@ class PallasJacobian:
         self.packed = packed
         if block_b <= 0:
             # largest state tile whose (R, block) working set fits the
-            # ~100 MB scoped-VMEM budget (measured: GRI R=326 fits 1024)
+            # ~100 MB scoped-VMEM budget (measured: R=326 fits 1024,
+            # R=784 fits 256)
             import math as _math
             block_b = 2 ** int(_math.log2(
-                max(128, min(1024, 1.0e8 / (packed.n_reactions * 240)))))
+                max(128, min(1024, 350000.0 / packed.n_reactions))))
         self.block_b = block_b
         self.interpret = interpret
         self.consts, self.meta = _consts(packed)
