@@ -22,7 +22,8 @@ docstrings throughout cite the corresponding reference files/lines.
 """
 
 from .core.chemkin import MechanismError, read_mech, read_thermo
-from .integrate import IntegrateResult, ignition_delay, integrate
+from .integrate import (IntegrateResult, ignition_delay,  # noqa: F401
+                        integrate)
 from .core.cti import read_mech_cti
 from .core.ir import Reaction, Species
 from .core.mech import Mechanism, get_species_mappings

@@ -14,7 +14,7 @@ kmol/m^3 pre-exponentials).
 from __future__ import annotations
 
 import math
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List
 
 import numpy as np
 

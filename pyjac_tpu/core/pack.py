@@ -28,11 +28,10 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass, field
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 
-from .constants import PA, RU
 from .ir import Reaction
 from .mech import Mechanism
 

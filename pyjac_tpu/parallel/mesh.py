@@ -16,9 +16,8 @@ the analog of the reference's GPU capacity loop
 
 from __future__ import annotations
 
-import math
 from functools import partial
-from typing import Callable, Optional, Sequence
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

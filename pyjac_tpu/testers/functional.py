@@ -21,8 +21,7 @@ Cantera / Adept / TChem triple:
 
 from __future__ import annotations
 
-import sys
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, Optional
 
 import numpy as np

@@ -14,7 +14,7 @@ Everything here is scalar per state; use only on small batches.
 from __future__ import annotations
 
 import math
-from typing import Dict, List
+from typing import Dict
 
 import numpy as np
 

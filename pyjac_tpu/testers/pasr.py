@@ -32,7 +32,7 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-from ..core.constants import PA, RU
+from ..core.constants import PA
 from ..core.mech import Mechanism
 from ..core.pack import PackedMechanism, pack
 

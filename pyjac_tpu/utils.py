@@ -8,7 +8,7 @@ TPU-native equivalents of the reference's generated ``mass_mole`` source
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple, Union
+from typing import Tuple
 
 import numpy as np
 
