@@ -151,8 +151,10 @@ def synthetic_mechanism(n_species: int = 9, n_reactions: int = 24,
         cheb = rng.uniform(-0.1, 0.1, size=(4, 3))
         cheb[0, 0] = rng.uniform(6.0, 8.0)   # log10 k scale (cm^3/mol)
         rows = []
-        rows.append('PCHEB / 0.01 100.0 /')
-        rows.append('TCHEB / 500.0 3000.0 /')
+        # single-line PCHEB+TCHEB: the reference parser indexes past the
+        # pressure pair unconditionally (mech_interpret.py:616) and
+        # crashes on a standalone PCHEB card
+        rows.append('PCHEB / 0.01 100.0 / TCHEB / 500.0 3000.0 /')
         rows.append('CHEB / 4 3 {} /'.format(
             ' '.join('{:.4E}'.format(v) for v in cheb[0])))
         for r in cheb[1:]:

