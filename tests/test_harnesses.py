@@ -127,3 +127,30 @@ def test_pasr_bad_case(h2o2_mech):
         pasr.run_simulation(h2o2_mech, 'weird', 300.0, 1.0, 1.0,
                             {'H2': 1.0}, {'O2': 1.0, 'N2': 3.76},
                             num_part=2, num_res=1)
+
+
+@pytest.mark.slow
+def test_pasr_statistics_match_reference_fixture(h2o2_mech):
+    """Run PaSR with the reference's exact configuration
+    (data/pasr_input.yaml: premixed H2/air, phi=1, 300 K, 1 atm,
+    10 particles, tau_res 10 ms, tau_mix = tau_pair = 1 ms, 1 residence
+    time) and compare state-distribution statistics against the
+    reference-toolchain fixture h2_pasr_output.npy (generated with
+    Cantera chemistry)."""
+    ref = np.load(__import__('tests.conftest', fromlist=['data_path'])
+                  .data_path('h2_pasr_output.npy'))
+    data = pasr.run_simulation(
+        h2o2_mech, 'premixed', 300.0, 1.0, 1.0, {'H2': 1.0},
+        {'O2': 1.0, 'N2': 3.76}, num_part=10, tau_res=10e-3,
+        tau_mix=1e-3, tau_pair=1e-3, num_res=1, seed=4, verbose=False)
+    assert data.shape[1:] == ref.shape[1:]
+    assert abs(data.shape[0] - ref.shape[0]) <= 2
+    T_ours, T_ref = data[:, :, 1], ref[:, :, 1]
+    # pilot/adiabatic-flame ceiling matches within a few K
+    assert abs(T_ours.max() - T_ref.max()) < 25.0
+    # cold inflow appears in both
+    assert T_ours.min() < 900.0 and T_ref.min() < 900.0
+    # bulk temperature statistics agree loosely (stochastic process)
+    assert abs(T_ours.mean() - T_ref.mean()) / T_ref.mean() < 0.25
+    # composition sanity: same species bounds
+    np.testing.assert_allclose(data[:, :, 3:].sum(-1), 1.0, atol=1e-9)
