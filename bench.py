@@ -73,6 +73,9 @@ def main():
     # secondary (stderr): the Pallas fused kernel in f32 — the
     # throughput configuration; the headline stays f64, the precision
     # that meets the 1e-8 parity bar
+    del yj, Pj, pending
+    import gc
+    gc.collect()
     try:
         from pyjac_tpu.ops.pallas_jacobian import PallasJacobian, supports
         if supports(packed):

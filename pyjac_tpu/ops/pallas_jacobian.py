@@ -264,6 +264,7 @@ def _consts(packed, dtype=np.float32):
                     np.round(packed.prod_nu[:, i])).any())
               for i in range(Sp)]
     meta = {'N': N, 'R': R, 'Sf': Sf, 'Sp': Sp, 'J': J,
+            'conp': True,
             'frac_f': frac_f, 'frac_p': frac_p,
             'max_nu': packed.max_nu_int,
             'has_rev': packed.has_rev,
@@ -329,7 +330,8 @@ def _kernel(meta, names, *refs):
         u_j = cref['u_vec'][0, j]                        # SMEM scalar
         dcol = _dot_x(nuT, P1_col)
         dcol = dcol + v_u * u_j + v_1
-        r_j = -mw_avg * u_j
+        r_j = (-mw_avg * u_j) if meta['conp'] else \
+            jnp.zeros_like(mw_avg)
         cp_j = cp_scr[pl.ds(j, 1), :]                    # (1, B)
         JYY_col = mwJ * rho_inv * dcol[0:J] - fk[0:J] * r_j
         JTY_col = (-jnp.sum(eW * dcol, axis=0, keepdims=True) / denomT -
@@ -349,9 +351,9 @@ def _compute(meta, C_, y_tile, P_tile):
     N, R, Sf, Sp, J = (meta['N'], meta['R'], meta['Sf'], meta['Sp'],
                        meta['J'])
 
+    conp = meta['conp']
     T = y_tile[0:1, :]                               # (1, B)
     Yr = y_tile[1:, :]                               # (J, B)
-    P = P_tile[0:1, :]
     logT = jnp.log(T)
     invT = 1.0 / T
 
@@ -359,7 +361,12 @@ def _compute(meta, C_, y_tile, P_tile):
     Y_full = jnp.concatenate([Yr, y_N], axis=0)      # (N, B)
     inv_wbar = _dot(C_['inv_mw_row'], Y_full)   # (1, B)
     mw_avg = 1.0 / inv_wbar
-    rho = P * mw_avg / (RU * T)
+    if conp:
+        P = P_tile[0:1, :]
+        rho = P * mw_avg / (RU * T)
+    else:
+        rho = P_tile[0:1, :]                         # density given
+        P = rho * RU * T * inv_wbar
     conc = rho * Y_full * C_['inv_mw_row'].T          # (N, B)
 
     # --- thermo (two-range NASA select), all (N, B) -----------------------
@@ -394,6 +401,9 @@ def _compute(meta, C_, y_tile, P_tile):
     RUinv_mw = RU * C_['inv_mw_row'].T               # (N, 1)
     cp = RUinv_mw * dual(poly_cp)
     h = RUinv_mw * dual(poly_h)
+    if not conp:
+        cp = cp - RUinv_mw                           # cv = cp - R/W
+        h = h - RUinv_mw * T                         # u = h - (R/W) T
     dcp = RUinv_mw * dual(poly_dcp)
     smh = dual(poly_smh)
     dsmh = dual(poly_dsmh)
@@ -559,8 +569,11 @@ def _compute(meta, C_, y_tile, P_tile):
         thd = m_tb + _dot(C_['eff_m1'], conc)
         tm = C_['thd_mask']
         pm = pm + tm * (thd - 1.0)
-        dpm_dT = dpm_dT + tm * (-thd * invT)
-        c_u_pm = c_u_pm + tm * (-mw_avg * (thd - m_tb))
+        if conp:
+            dpm_dT = dpm_dT + tm * (-thd * invT)
+            c_u_pm = c_u_pm + tm * (-mw_avg * (thd - m_tb))
+        else:
+            c_u_pm = c_u_pm + tm * rho               # d m_tb/dY_j = rho u_j
         psi = psi + tm * rho
 
         fall = C_['fall_mask']
@@ -651,14 +664,21 @@ def _compute(meta, C_, y_tile, P_tile):
         dG_dPr = jnp.where(fall > 0.5, _F1, _FM1) / ((1.0 + Pr) *
                                                      (1.0 + Pr))
         Phi = F * dG_dPr + G_ * dF_dL * dL_dPr
-        dPr_dT = Pr * (dlnk0 - dlnkinf - invT)       # CONP: dlnX/dT=-1/T
+        if conp:
+            dPr_dT = Pr * (dlnk0 - dlnkinf - invT)   # dlnX/dT = -1/T
+        else:
+            dPr_dT = Pr * (dlnk0 - dlnkinf)          # X independent of T
         pm_p = F * G_
         pm = jnp.where(pdep > 0.5, pm_p, pm)
         dpm_dT = jnp.where(pdep > 0.5, G_ * dF_dT + Phi * dPr_dT,
                            dpm_dT)
-        cu_mix = -mw_avg * (thd - m_tb)
+        if conp:
+            cu_mix = -mw_avg * (thd - m_tb)
+        else:
+            cu_mix = jnp.broadcast_to(rho, thd.shape)
         if meta['has_spec_pdep']:
-            cu_X = jnp.where(sm > 0.5, -mw_avg * X, cu_mix)
+            cu_spec = -mw_avg * X if conp else jnp.zeros_like(X)
+            cu_X = jnp.where(sm > 0.5, cu_spec, cu_mix)
         else:
             cu_X = jnp.broadcast_to(cu_mix, kf.shape)
         c_u_pm = jnp.where(pdep > 0.5, Phi * ratio * cu_X, c_u_pm)
@@ -670,9 +690,12 @@ def _compute(meta, C_, y_tile, P_tile):
                            xi)
 
     # --- dq/dT, (R, B) -------------------------------------------------------
-    dq_dT = (pm * (Rf * dlnkf_dT - Rr * dlnkr_dT) +
-             pm * (-invT) * (C_['ordf'] * Rf - C_['ordr'] * Rr) +
-             dpm_dT * qnet)
+    dq_dT = pm * (Rf * dlnkf_dT - Rr * dlnkr_dT) + dpm_dT * qnet
+    if conp:
+        dq_dT = dq_dT + pm * (-invT) * (C_['ordf'] * Rf -
+                                        C_['ordr'] * Rr)
+    elif meta['has_plog'] or meta['has_cheb']:
+        dq_dT = dq_dT + pm * qnet * aP * invT        # dln P/dT = 1/T
 
     # --- assembly, one reduced-species column at a time --------------------
     # Everything stays 2-D (R, B)/(N, B): Mosaic-friendly, and each
@@ -689,9 +712,13 @@ def _compute(meta, C_, y_tile, P_tile):
     for s in range(Sp):
         c_1 = c_1 + vals_p[s] * C_['last_p%d' % s] * w_last
 
-    # rank-one coefficient on u_vec (CONP)
-    c_u = (pm * (C_['ordf'] * Rf - C_['ordr'] * Rr) * (-mw_avg) +
-           c_u_pm * qnet)
+    # rank-one coefficient on u_vec
+    c_u = c_u_pm * qnet
+    if conp:
+        c_u = c_u + pm * (C_['ordf'] * Rf -
+                          C_['ordr'] * Rr) * (-mw_avg)
+    elif meta['has_plog'] or meta['has_cheb']:
+        c_u = c_u + pm * qnet * aP * mw_avg          # dln P/dY_j = W u_j
 
     # --- stoichiometric contractions ------------------------------------------
     q = pm * qnet
@@ -713,10 +740,11 @@ def _compute(meta, C_, y_tile, P_tile):
     xi_q = xi * qnet
 
     # temperature column (column 0)
-    JYT = mwJ * rho_inv * domega_dT[0:J] - fk[0:J] * (-invT)
+    dlnrho_dT = -invT if conp else jnp.zeros_like(invT)
+    JYT = mwJ * rho_inv * domega_dT[0:J] - fk[0:J] * dlnrho_dT
     JTT = (-(jnp.sum(cp * C_['mw_col'] * omega, axis=0, keepdims=True) +
              jnp.sum(eW * domega_dT, axis=0, keepdims=True)) / denomT -
-           fT * (-invT + dsh_dT / sh))
+           fT * (dlnrho_dT + dsh_dT / sh))
     col0 = jnp.concatenate([JTT, JYT], axis=0)          # (N, B)
     f_out = jnp.concatenate([fT, fk[0:J]], axis=0)
 
@@ -736,10 +764,6 @@ class PallasJacobian:
 
     def __init__(self, packed, block_b: int = 0,
                  interpret: bool = False, conp: bool = True):
-        if not conp:
-            raise NotImplementedError(
-                'the Pallas kernel currently covers CONP only; use '
-                'ops.jacobian.eval_jacobian(conp=False)')
         if not supports(packed):
             raise NotImplementedError(
                 'sign-flipping PLOG tables: use the XLA path '
@@ -755,6 +779,8 @@ class PallasJacobian:
         self.block_b = block_b
         self.interpret = interpret
         self.consts, self.meta = _consts(packed)
+        self.meta['conp'] = bool(conp)
+        self.conp = bool(conp)
         self.names = list(self.consts.keys())
         N = self.meta['N']
 

@@ -94,3 +94,61 @@ def test_all_features_mechanism(tmp_path):
     assert fin.mean() > 0.99
     scale = np.abs(J_ref[fin]).max()
     assert np.abs(J - J_ref)[fin].max() / scale < 2e-5
+
+
+def test_conv_matches_xla(h2o2_packed, h2o2_states):
+    """Constant-volume Pallas kernel vs the XLA CONV path."""
+    import jax.numpy as jnp
+
+    from pyjac_tpu.ops.thermo import eval_conc
+    st = h2o2_states
+    sel = np.linspace(0, len(st['T']) - 1, 64).astype(int)
+    T = jnp.asarray(st['T'][sel])
+    P = jnp.asarray(st['P'][sel])
+    Y = jnp.asarray(st['Y_full'][sel, :-1])
+    _, _, rho, _ = eval_conc(h2o2_packed, T, P, Y)
+    pj = PallasJacobian(h2o2_packed, block_b=64, interpret=True,
+                        conp=False)
+    J, f = pj(st['y'][sel], np.asarray(rho))
+    J_ref, f_ref = jacobian_and_dydt(h2o2_packed, 0.0,
+                                     jnp.asarray(np.asarray(rho),
+                                                 jnp.float32),
+                                     jnp.asarray(st['y'][sel],
+                                                 jnp.float32),
+                                     conp=False)
+    J, J_ref = np.asarray(J), np.asarray(J_ref)
+    scale = np.abs(J_ref).max()
+    assert np.abs(J - J_ref).max() / scale < 2e-5
+    fscale = np.abs(np.asarray(f_ref)).max()
+    # the CONV energy sum (u W omega, u = h - RT/W) cancels harder than
+    # CONP's; pure-f32 vs the suite's mixed f64-constant XLA path
+    # differs at the amplified-roundoff level
+    assert np.abs(np.asarray(f) - np.asarray(f_ref)).max() / fscale < 1e-3
+
+
+def test_conv_all_features(tmp_path):
+    """CONV on PLOG/Chebyshev rows exercises the pressure-dependence
+    chain (P varies with T and Y under constant volume)."""
+    import jax.numpy as jnp
+
+    from pyjac_tpu.ops.thermo import eval_conc
+    text = synthetic_mechanism(n_species=9, n_reactions=24, seed=7)
+    p = tmp_path / 'm.inp'
+    p.write_text(text)
+    mech = Mechanism.from_files(str(p))
+    packed = pack(mech)
+    y, T, P = random_states(mech, 64, seed=5)
+    _, _, rho, _ = eval_conc(packed, jnp.asarray(T), jnp.asarray(P),
+                             jnp.asarray(y[:, 1:]))
+    pj = PallasJacobian(packed, block_b=64, interpret=True, conp=False)
+    J, f = pj(y, np.asarray(rho))
+    J_ref, f_ref = jacobian_and_dydt(packed, 0.0,
+                                     jnp.asarray(np.asarray(rho),
+                                                 jnp.float32),
+                                     jnp.asarray(y, jnp.float32),
+                                     conp=False)
+    J, J_ref = np.asarray(J), np.asarray(J_ref)
+    fin = np.isfinite(J) & np.isfinite(J_ref)
+    assert fin.mean() > 0.99
+    scale = np.abs(J_ref[fin]).max()
+    assert np.abs(J - J_ref)[fin].max() / scale < 2e-5
