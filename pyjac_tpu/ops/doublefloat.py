@@ -123,3 +123,74 @@ def dd_sum(values_hi, values_lo, axis: int = 0) -> DD:
 def dd_to_f64(a: DD):
     """Reconstruct float64 (for testing on CPU; not for TPU hot paths)."""
     return a.hi.astype(jnp.float64) + a.lo.astype(jnp.float64)
+
+
+# --- transcendentals --------------------------------------------------------
+# Cody-Waite split of ln 2: C1 has a 12-bit mantissa so k * C1 is exact
+# for |k| <= 2^11; C1 + C2 + C3 == ln 2 to ~2^-70
+_LN2_C1 = jnp.float32(0.693115234375)
+_LN2_C2 = jnp.float32(3.194618329871446e-05)
+_LN2_C3 = jnp.float32(1.6465717678215697e-12)
+
+
+def _pow2i(k):
+    """2**k for small integer k (f32), via exponent-field construction."""
+    biased = (k.astype(jnp.int32) + 127) << 23
+    return jax.lax.bitcast_convert_type(biased, jnp.float32)
+
+
+# Taylor coefficients 1/n! for exp on |r| <= ln2/2, degree 12, as
+# double-float (hi, lo) pairs — f32-rounded coefficients alone cost
+# ~1e-10 relative error
+_EXP_COEFFS = [
+    (2.0876755879584152e-09, 1.1082839809204342e-16),
+    (2.5052107943679403e-08, 4.4176230446483665e-16),
+    (2.755731998149713e-07, -7.575112209051195e-15),
+    (2.7557318844628753e-06, 3.793571224297229e-14),
+    (2.4801587642286904e-05, -3.40699609366682e-13),
+    (0.00019841270113829523, -2.725596874933456e-12),
+    (0.0013888889225199819, -3.3631094437103215e-11),
+    (0.008333333767950535, -4.34617203337595e-10),
+    (0.0416666679084301, -1.2417634698280722e-09),
+    (0.1666666716337204, -4.967053879312289e-09),
+    (0.5, 0.0), (1.0, 0.0), (1.0, 0.0),
+]
+
+
+def dd_exp(a: DD) -> DD:
+    """exp(a) to ~2^-45 relative (vs f32 exp's ~2^-24).
+
+    Argument reduction a = k ln2 + r with ln2 in double-float, then a
+    degree-12 Taylor polynomial in dd-Horner form, rescaled by the exact
+    power of two. Valid for |a.hi| < 87 (f32 exp range); full ~2^-45
+    precision requires |result| >~ 1e-30 (below that the low word goes
+    f32-denormal — the intrinsic double-float range floor).
+    """
+    import numpy as np
+    k = jnp.round(a.hi * jnp.float32(1.4426950408889634))   # a/ln2
+    r = dd_add_f(a, -k * _LN2_C1)          # exact product (12-bit C1)
+    p2 = two_prod(k, _LN2_C2)              # exact
+    r = dd_add(r, DD(-p2.hi, -p2.lo))
+    r = dd_add_f(r, -k * _LN2_C3)
+    chi, clo = _EXP_COEFFS[0]
+    acc = DD(jnp.full_like(a.hi, np.float32(chi)),
+             jnp.full_like(a.hi, np.float32(clo)))
+    for chi, clo in _EXP_COEFFS[1:]:
+        t = dd_mul(acc, r)
+        acc = dd_add(t, DD(jnp.full_like(a.hi, np.float32(chi)),
+                           jnp.full_like(a.hi, np.float32(clo))))
+    scale = _pow2i(k)
+    return DD(acc.hi * scale, acc.lo * scale)
+
+
+def dd_log(a: DD) -> DD:
+    """log(a) to ~2^-45 relative, for a > 0.
+
+    One dd Newton step y1 = y0 + (a e^{-y0} - 1) on the f32 seed
+    doubles its precision.
+    """
+    y0 = jnp.log(a.hi)
+    e = dd_exp(DD(-y0, jnp.zeros_like(y0)))
+    t = dd_mul(a, e)                                  # ~1 + eps
+    corr = dd_add_f(t, jnp.float32(-1.0))
+    return dd_add_f(corr, y0)

@@ -79,3 +79,48 @@ def test_dd_cancellation():
     # plain f32 loses it completely
     assert float((jnp.float32(1e8) + jnp.float32(1e-3)) -
                  jnp.float32(1e8)) == 0.0
+
+
+def test_dd_exp_precision():
+    rng = np.random.default_rng(1)
+    # |x| < 60: below exp(-60) the dd low word goes denormal
+    x = rng.uniform(-60.0, 60.0, size=512)
+    a = dd.dd_from(jnp.asarray(x, jnp.float32))
+    got = np.asarray(dd.dd_to_f64(dd.dd_exp(a)))
+    want = np.exp(np.asarray(a.hi, dtype=np.float64))
+    rel = np.abs((got - want) / want).max()
+    assert rel < 1e-12, rel
+    # vs plain f32 exp (~6e-8): must be orders better
+    f32rel = np.abs((np.exp(np.asarray(a.hi)).astype(np.float64) - want) /
+                    want).max()
+    assert rel < f32rel / 1e3
+
+
+def test_dd_exp_with_low_part():
+    """The low word shifts the result: exp(hi+lo) != exp(hi)."""
+    hi = jnp.asarray([10.0], jnp.float32)
+    lo = jnp.asarray([1e-5], jnp.float32)
+    got = float(np.asarray(dd.dd_to_f64(dd.dd_exp(dd.DD(hi, lo))))[0])
+    want = float(np.exp(np.float64(10.0) + np.float64(
+        np.float32(1e-5))))
+    assert got == pytest.approx(want, rel=1e-12)
+
+
+def test_dd_log_precision():
+    rng = np.random.default_rng(2)
+    x = rng.uniform(1e-20, 1e20, size=512)
+    a = dd.dd_from(jnp.asarray(x, jnp.float32))
+    got = np.asarray(dd.dd_to_f64(dd.dd_log(a)))
+    want = np.log(np.asarray(a.hi, dtype=np.float64))
+    err = np.abs(got - want).max()        # absolute (log scale)
+    assert err < 5e-12, err
+
+
+def test_dd_exp_log_roundtrip():
+    rng = np.random.default_rng(4)
+    x = rng.uniform(0.1, 60.0, size=128)
+    a = dd.dd_from(jnp.asarray(x, jnp.float32))
+    back = dd.dd_log(dd.dd_exp(a))
+    got = np.asarray(dd.dd_to_f64(back))
+    want = np.asarray(a.hi, dtype=np.float64)
+    assert np.abs(got - want).max() < 1e-11
