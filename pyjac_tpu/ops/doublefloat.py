@@ -29,34 +29,44 @@ class DD(NamedTuple):
     lo: jnp.ndarray
 
 
+def _barrier(x):
+    """Defeat algebraic simplification: XLA on TPU (with
+    --xla_allow_excess_precision) folds error-free transformation
+    patterns like (a - (s - bb)) + (b - bb) into zero, silently
+    destroying double-float arithmetic (observed: 1e-8 instead of
+    1e-13 accuracy). A data-dependence barrier keeps the rounding."""
+    return jax.lax.optimization_barrier(x)
+
+
 def two_sum(a, b) -> DD:
     """Error-free a + b (Knuth): s + e == a + b exactly."""
-    s = a + b
-    bb = s - a
-    e = (a - (s - bb)) + (b - bb)
+    s = _barrier(a + b)
+    bb = _barrier(s - a)
+    e = (a - _barrier(s - bb)) + (b - bb)
     return DD(s, e)
 
 
 def fast_two_sum(a, b) -> DD:
     """Error-free a + b assuming |a| >= |b| (Dekker)."""
-    s = a + b
-    e = b - (s - a)
+    s = _barrier(a + b)
+    e = b - _barrier(s - a)
     return DD(s, e)
 
 
 def _split(a) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Veltkamp split: a == a_hi + a_lo with 12-bit halves."""
-    t = _SPLIT * a
-    a_hi = t - (t - a)
+    t = _barrier(_SPLIT * a)
+    a_hi = t - _barrier(t - a)
     return a_hi, a - a_hi
 
 
 def two_prod(a, b) -> DD:
     """Error-free a * b (Dekker): p + e == a * b exactly."""
-    p = a * b
+    p = _barrier(a * b)
     a_hi, a_lo = _split(a)
     b_hi, b_lo = _split(b)
-    e = ((a_hi * b_hi - p) + a_hi * b_lo + a_lo * b_hi) + a_lo * b_lo
+    e = ((_barrier(a_hi * b_hi) - p) + _barrier(a_hi * b_lo) +
+         _barrier(a_lo * b_hi)) + a_lo * b_lo
     return DD(p, e)
 
 
@@ -184,13 +194,35 @@ def dd_exp(a: DD) -> DD:
 
 
 def dd_log(a: DD) -> DD:
-    """log(a) to ~2^-45 relative, for a > 0.
+    """log(a) to ~2^-45 absolute, for a > 0.
 
-    One dd Newton step y1 = y0 + (a e^{-y0} - 1) on the f32 seed
-    doubles its precision.
+    Two dd Newton steps y <- y + (a e^{-y} - 1) on the f32 seed: TPU's
+    hardware f32 log is only ~5e-6 accurate (CPU's is ~1 ulp), so a
+    single step leaves ~5e-9 residual.
     """
     y0 = jnp.log(a.hi)
     e = dd_exp(DD(-y0, jnp.zeros_like(y0)))
-    t = dd_mul(a, e)                                  # ~1 + eps
+    t = dd_mul(a, e)
+    y1 = dd_add_f(dd_add_f(t, jnp.float32(-1.0)), y0)
+    e = dd_exp(dd_neg(y1))
+    t = dd_mul(a, e)
     corr = dd_add_f(t, jnp.float32(-1.0))
-    return dd_add_f(corr, y0)
+    return dd_add(corr, y1)
+
+
+def dd_const(x64) -> DD:
+    """Split a float64 numpy array into an exact double-float constant."""
+    import numpy as np
+    x64 = np.asarray(x64, dtype=np.float64)
+    hi = x64.astype(np.float32)
+    lo = (x64 - hi.astype(np.float64)).astype(np.float32)
+    return DD(jnp.asarray(hi), jnp.asarray(lo))
+
+
+def dd_recip(a: DD) -> DD:
+    """1 / a via one dd Newton step on the f32 reciprocal."""
+    r0 = 1.0 / a.hi
+    # r1 = r0 * (2 - a r0)
+    t = dd_mul_f(a, r0)
+    e = dd_add_f(DD(-t.hi, -t.lo), jnp.float32(2.0))
+    return dd_mul_f(e, r0)
