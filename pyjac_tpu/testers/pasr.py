@@ -228,7 +228,10 @@ def select_pairs(particles: np.ndarray, num_pairs: int, rng,
     (reference :639-675)."""
     n = len(particles)
     for i_pair in range(num_pairs):
-        i = 2 * rng.integers((n // 2) - i_pair - num_skip)
+        span = (n // 2) - i_pair - num_skip
+        if span <= 0:        # fewer particles than requested pairs
+            break
+        i = 2 * rng.integers(span)
         j = i + 1
         if rng.random() > 0.5:
             particles[[i, j]] = particles[[j, i]]

@@ -154,3 +154,34 @@ def test_pasr_statistics_match_reference_fixture(h2o2_mech):
     assert abs(T_ours.mean() - T_ref.mean()) / T_ref.mean() < 0.25
     # composition sanity: same species bounds
     np.testing.assert_allclose(data[:, :, 3:].sum(-1), 1.0, atol=1e-9)
+
+
+def test_pasr_cli_main(h2o2_cti, tmp_path):
+    """python -m pyjac_tpu.testers.pasr end to end with a YAML input."""
+    yaml_text = """case: premixed
+temperature: 300.0
+pressure: 1.0
+equivalence ratio: 1.0
+fuel:
+  H2: 1.0
+oxidizer:
+  O2: 1.0
+  N2: 3.76
+complete products:
+  - H2O
+  - N2
+number of particles: 4
+residence time: 0.5e-3
+mixing time: 0.25e-3
+pairing time: 0.5e-3
+number of residence times: 1
+"""
+    ypath = tmp_path / 'pasr.yaml'
+    ypath.write_text(yaml_text)
+    out = tmp_path / 'out.npy'
+    from pyjac_tpu.testers.pasr import main as pasr_main
+    rc = pasr_main(['-i', h2o2_cti, '-y', str(ypath), '-o', str(out),
+                    '--seed', '0'])
+    assert rc == 0
+    data = np.load(out)
+    assert data.shape[1] == 4 and data.shape[2] == 13
