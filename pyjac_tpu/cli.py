@@ -55,6 +55,30 @@ def get_parser() -> argparse.ArgumentParser:
                              'forward-mode AD on sampled states.')
     parser.add_argument('--states', type=int, default=16,
                         help='Number of random states for --validate.')
+    # ---- accepted-for-parity no-ops (CUDA/cache-optimizer specific in
+    # the reference, utils.py:357-411; meaningless under XLA/TPU) ------
+    noop = parser.add_argument_group(
+        'reference-compatibility (accepted, no effect on TPU)')
+    noop.add_argument('-co', '--cache-optimizer', dest='cache_optimizer',
+                      action='store_true', default=False,
+                      help='no-op: operand locality is XLA\'s job once '
+                           'constants are packed tensors')
+    noop.add_argument('-nosmem', '--no-shared-memory', dest='no_shared',
+                      action='store_true', default=False,
+                      help='no-op: VMEM staging is automatic (Pallas/XLA)')
+    noop.add_argument('-pshare', '--prefer-shared', dest='L1_preferred',
+                      action='store_false', default=True,
+                      help='no-op: no L1/shared split on TPU')
+    noop.add_argument('-nb', '--num-blocks', type=int, default=8,
+                      help='no-op: grid sizing is derived from the batch')
+    noop.add_argument('-nt', '--num-threads', type=int, default=64,
+                      help='no-op: see --num-blocks')
+    noop.add_argument('-mt', '--multi-threaded', type=int, default=None,
+                      help='no-op: single XLA compile replaces the '
+                           'multiprocess codegen')
+    noop.add_argument('-fopt', '--force-optimize', action='store_true',
+                      default=False,
+                      help='no-op: nothing to re-optimize')
     return parser
 
 
@@ -63,6 +87,12 @@ def main(argv=None) -> int:
 
     from .core.mech import Mechanism
     from .core.pack import pack, save_packed
+
+    if args.cache_optimizer or args.no_shared or not args.L1_preferred \
+            or args.force_optimize:
+        print('note: CUDA/cache-optimizer flags are accepted for pyJac '
+              'CLI compatibility but have no effect on TPU',
+              file=sys.stderr)
 
     mech = Mechanism.from_files(args.input, args.thermo,
                                 last_spec=args.last_species)
