@@ -50,3 +50,15 @@ def test_public_api_complete():
     import pyjac_tpu
     for name in pyjac_tpu.__all__:
         assert hasattr(pyjac_tpu, name), name
+
+
+def test_common_helpers():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pyjac_tpu.ops.common import int_pow, safe_log, safe_log10
+    c = jnp.asarray([0.0, 1.0, 4.0])
+    np.testing.assert_allclose(np.asarray(int_pow(c, 3)), [0., 1., 64.])
+    np.testing.assert_allclose(np.asarray(int_pow(c, 0)), [1., 1., 1.])
+    assert np.isfinite(np.asarray(safe_log10(c))).all()
+    assert np.isfinite(np.asarray(safe_log(c))).all()
