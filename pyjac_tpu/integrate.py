@@ -30,6 +30,39 @@ _D = 1.0 / (2.0 + math.sqrt(2.0))
 _E32 = 6.0 + math.sqrt(2.0)
 
 
+def gauss_solve(A, b):
+    """Batched dense solve via Gaussian elimination with partial
+    pivoting, in pure jnp ops (statically unrolled over N).
+
+    XLA:TPU's LU-decomposition lowering does not compile under f64
+    emulation on this platform (jnp.linalg.solve / lu_factor both die in
+    the backend for float64 operands), so the iteration-matrix solves
+    use this elimination instead: O(N^3) like LU, compiles in every
+    dtype, and vectorizes over the batch. ``A`` is (B, N, N), ``b`` is
+    (B, N); returns x with A @ x == b.
+    """
+    N = A.shape[-1]
+    M = jnp.concatenate([A, b[..., None]], axis=-1)      # (B, N, N+1)
+    idx = jnp.arange(N)
+    for k in range(N):
+        col = jnp.abs(M[:, :, k])
+        col = jnp.where(idx[None, :] >= k, col, -jnp.inf)
+        p = jnp.argmax(col, axis=1)                      # (B,)
+        perm = jnp.where(idx[None, :] == k, p[:, None],
+                         jnp.where(idx[None, :] == p[:, None], k,
+                                   idx[None, :]))
+        M = jnp.take_along_axis(M, perm[:, :, None], axis=1)
+        piv_row = M[:, k, :]                             # (B, N+1)
+        fac = M[:, :, k] / piv_row[:, k][:, None]
+        fac = jnp.where(idx[None, :] > k, fac, 0.0)
+        M = M - fac[:, :, None] * piv_row[:, None, :]
+    x = jnp.zeros_like(b)
+    for k in range(N - 1, -1, -1):
+        s = jnp.einsum('bj,bj->b', M[:, k, :N], x)
+        x = x.at[:, k].set((M[:, k, N] - s) / M[:, k, k])
+    return x
+
+
 class IntegrateResult(NamedTuple):
     y: jnp.ndarray          # (B, N) final states
     t: jnp.ndarray          # (B,) final times (== t_end on success)
@@ -87,10 +120,9 @@ def integrate(packed, y0, param, t_end, conp: bool = True,
         F0 = f(c.y)
         J = jac(c.y)
         W = eye - (h * _D)[:, None, None] * J
-        lu, piv = jax.scipy.linalg.lu_factor(W)
 
         def solve(rhs):
-            return jax.scipy.linalg.lu_solve((lu, piv), rhs)
+            return gauss_solve(W, rhs)
 
         k1 = solve(F0)
         F1 = f(c.y + 0.5 * h[:, None] * k1)
