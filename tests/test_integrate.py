@@ -67,3 +67,27 @@ def test_integrate_mixed_horizons(h2o2_packed, h2_air):
     h_idx = 1 + h2o2_packed.species_names.index('H')
     YH = np.asarray(res.y[:, h_idx])
     assert YH[0] < YH[1] < YH[2]
+
+
+def test_gauss_solve_matches_numpy():
+    """The iteration-matrix solver (pure-jnp elimination; used because
+    XLA:TPU cannot compile f64 LU) must match numpy's LAPACK solve."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from pyjac_tpu.integrate import gauss_solve
+
+    rng = np.random.default_rng(7)
+    for n in (3, 10, 53):
+        A = rng.standard_normal((8, n, n))
+        A += n * np.eye(n)           # well-conditioned
+        b = rng.standard_normal((8, n))
+        x = np.asarray(gauss_solve(jnp.asarray(A), jnp.asarray(b)))
+        x_ref = np.linalg.solve(A, b[..., None])[..., 0]
+        assert np.max(np.abs(x - x_ref)) < 1e-12
+
+    # pivoting: a zero on the diagonal must not break it
+    A = np.array([[[0.0, 1.0], [1.0, 0.0]]])
+    b = np.array([[2.0, 3.0]])
+    x = np.asarray(gauss_solve(jnp.asarray(A), jnp.asarray(b)))
+    np.testing.assert_allclose(x, [[3.0, 2.0]], atol=1e-14)
