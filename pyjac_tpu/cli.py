@@ -162,13 +162,28 @@ def main(argv=None) -> int:
                                      jnp.asarray(P), jnp.asarray(y[:, 1:]))
             param = rho
         J = eval_jacobian(packed, 0.0, param, jnp.asarray(y), conp=conp)
-        J_ref = jacobian_fwd(packed, 0.0, param, jnp.asarray(y), conp=conp)
-        scale = float(jnp.abs(J_ref).max()) + 1e-300
-        err = float(jnp.abs(J - J_ref).max()) / scale
+        # the AD oracle runs on the host CPU: TPU float64 is emulated
+        # as float32 pairs whose exponent range tops out near 1e38, and
+        # jacfwd's intermediate exponentials overflow it (the
+        # closed-form path works in log space and does not)
+        try:
+            oracle_dev = jax.devices('cpu')[0]
+        except RuntimeError:
+            oracle_dev = None
+        if oracle_dev is not None:
+            with jax.default_device(oracle_dev):
+                J_ref = jacobian_fwd(packed, 0.0, jnp.asarray(np.asarray(param)),
+                                     jnp.asarray(y), conp=conp)
+        else:
+            J_ref = jacobian_fwd(packed, 0.0, param, jnp.asarray(y),
+                                 conp=conp)
+        Jn, Jr = np.asarray(J), np.asarray(J_ref)
+        scale = float(np.abs(Jr).max()) + 1e-300
+        err = float(np.abs(Jn - Jr).max()) / scale
         print('jacobian self-validation (%s, %d states): '
               'max scaled err %.3e' %
               ('CONP' if conp else 'CONV', args.states, err))
-        if err > 1e-8:
+        if not (err <= 1e-8):        # NaN must fail, not slip through
             print('VALIDATION FAILED', file=sys.stderr)
             return 1
     return 0
