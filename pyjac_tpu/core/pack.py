@@ -297,6 +297,13 @@ def pack(mech: Mechanism) -> PackedMechanism:
         pars = sorted(reacs[i].plog_par, key=lambda p: p[0])
         plog_n[j] = len(pars)
         for k, (P, pA, pb, pE) in enumerate(pars):
+            if pA < 0:
+                # log-linear interpolation of ln|A| across a sign change
+                # has no meaning; the reference cannot represent these
+                # either (rate_subs.py:598-632 interpolates log k)
+                raise NotImplementedError(
+                    'negative pre-exponential factor in PLOG entry of '
+                    'reaction %d' % i)
             plog_lnP[j, k] = math.log(P)
             plog_logA[j, k] = math.log(abs(pA))
             plog_sign[j, k] = -1.0 if pA < 0 else 1.0
@@ -333,9 +340,10 @@ def pack(mech: Mechanism) -> PackedMechanism:
                          dtype=_I)
     pres_mod_map = np.asarray([i for i in range(R) if pres_mod[i]],
                               dtype=_I)
+    # a species is 'seen' iff some reaction gives it a nonzero net rate
+    # (the reference's `seen` from write_spec_rates, rate_subs.py:1322);
+    # third-body-only participation does not produce the species
     seen_sp = np.asarray(np.abs(nu_net).sum(axis=0) != 0.0)
-    # species consumed/produced only through pres_mod still react
-    seen_sp = seen_sp | (np.abs(nu_net).sum(axis=0) != 0)
 
     lind = (falloff | chemact) & ~troe & ~sri
 

@@ -35,8 +35,15 @@ def _kernel_fn(packed, name: str, conp: bool):
     if name == 'rates':
         def fn(p, y):
             T = y[..., 0]
-            _, _, rho, conc = thermo_mod.eval_conc(packed, T, p, y[..., 1:])
-            pres = p if conp else rho * 0 + p  # pres given directly (conp)
+            if conp:
+                # p is pressure [Pa]
+                _, _, _, conc = thermo_mod.eval_conc(packed, T, p,
+                                                     y[..., 1:])
+                pres = p
+            else:
+                # p is density [kg/m^3]; recover pressure from the state
+                _, _, pres, conc = thermo_mod.eval_conc_rho(packed, T, p,
+                                                            y[..., 1:])
             fwd, rev = rates_mod.eval_rxn_rates(packed, T, pres, conc)
             pm = rates_mod.get_rxn_pres_mod(packed, T, pres, conc)
             return fwd, rev, pm

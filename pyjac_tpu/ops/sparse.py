@@ -49,6 +49,14 @@ def structural_sparsity(packed, conp: bool = True) -> np.ndarray:
         pm_rows = np.asarray(packed.pres_mod_mask)
         # mixture third-body terms couple to all species
         involves = involves | pm_rows[:, None]
+    if packed.has_plog or packed.has_cheb:
+        # under CONV the pressure depends on mw_avg(Y), so PLOG /
+        # Chebyshev rates couple to every species (the aP * mw_avg term
+        # in eval_jacobian)
+        pd_rows = np.zeros(involves.shape[0], dtype=bool)
+        pd_rows[np.asarray(packed.plog_idx)] = True
+        pd_rows[np.asarray(packed.cheb_idx)] = True
+        involves = involves | pd_rows[:, None]
     touches = np.abs(nu) != 0                 # (R, N): omega_k rows
     # J[k, j] nonzero if exists r with touches[r, k] and involves[r, j]
     pair = touches.T.astype(np.int64) @ involves.astype(np.int64)

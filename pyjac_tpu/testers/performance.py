@@ -117,13 +117,19 @@ def step_sizes(total: int, minimum: int = 256) -> List[int]:
 
 
 def _timed_eval(packed, method: str, y: np.ndarray, P: np.ndarray,
-                dtype: str) -> float:
-    """One timed pass over the batch; returns wall ms."""
+                dtype: str, best_of: int = 3) -> float:
+    """Best-of-N timed pass over the batch; returns wall ms.
+
+    Measurement methodology matches ``bench.py``: the jitted step reduces
+    its FULL outputs to one scalar (so no part of the kernel is
+    DCE-eligible), dispatches are queued and synced once via the scalar
+    transfer, and the first post-compile pass (which still pays pipeline
+    warmup on this platform) is excluded by taking the best of N.
+    """
     import jax
     import jax.numpy as jnp
 
-    from ..ops.jacobian import (eval_jacobian, jacobian_and_dydt,
-                                jacobian_fwd)
+    from ..ops.jacobian import jacobian_and_dydt, jacobian_fwd
     from .functional import fd_jacobian
 
     jdt = jnp.float64 if (dtype == 'f64' and
@@ -145,23 +151,38 @@ def _timed_eval(packed, method: str, y: np.ndarray, P: np.ndarray,
         fn = jax.jit(lambda p, yy: _checksum(
             (jacobian_fwd(packed, 0.0, p, yy),)))
     elif method == 'fd':
-        t0 = time.perf_counter()
-        fd_jacobian(packed, 0.0, P, y, order=1)
-        return (time.perf_counter() - t0) * 1e3
+        best = float('inf')
+        for _ in range(best_of):
+            t0 = time.perf_counter()
+            fd_jacobian(packed, 0.0, P, y, order=1)
+            best = min(best, time.perf_counter() - t0)
+        return best * 1e3
     else:
         raise ValueError(method)
 
     chk = float(fn(Pj, yj))          # compile + warm
-    t0 = time.perf_counter()
-    chk = float(fn(Pj, yj))          # host sync via scalar transfer
-    return (time.perf_counter() - t0) * 1e3
+    if not np.isfinite(chk):
+        raise RuntimeError('non-finite checksum in %s timing' % method)
+    best = float('inf')
+    for _ in range(best_of):
+        t0 = time.perf_counter()
+        float(fn(Pj, yj))            # host sync via scalar transfer
+        best = min(best, time.perf_counter() - t0)
+    return best * 1e3
 
 
 def _checksum(arrays):
+    """Reduce EVERY output element to one scalar.
+
+    A strided or sliced reduction would let XLA dead-code-eliminate most
+    of the kernel and fake the throughput (see docs/performance.md);
+    full sums make every element live while the host transfer stays one
+    scalar.
+    """
     import jax.numpy as jnp
     total = 0.0
     for a in arrays:
-        total = total + jnp.sum(a.ravel()[:: max(1, a.size // 16)])
+        total = total + jnp.sum(a)
     return total
 
 

@@ -185,3 +185,48 @@ number of residence times: 1
     assert rc == 0
     data = np.load(out)
     assert data.shape[1] == 4 and data.shape[2] == 13
+
+
+def test_checksum_reduces_every_element():
+    """The timing checksum must sum FULL outputs — a strided slice lets
+    XLA dead-code-eliminate the rest and fake throughput (ADVICE r1)."""
+    import jax.numpy as jnp
+
+    from pyjac_tpu.testers.performance import _checksum
+    a = jnp.arange(1000, dtype=jnp.float64)
+    b = jnp.ones((33, 7), dtype=jnp.float64)
+    total = float(_checksum((a, b)))
+    assert total == float(jnp.sum(a)) + 33 * 7
+
+
+def test_timed_eval_matches_bench_methodology(h2o2_packed, h2o2_states):
+    """ajac timing must report a throughput consistent (within 4x) with
+    an independently-timed full-sum jitted step on the same batch."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from pyjac_tpu.ops.jacobian import jacobian_and_dydt
+    from pyjac_tpu.testers.performance import _timed_eval
+
+    st = h2o2_states
+    y, P = st['y'][:512], st['P'][:512]
+    ms = _timed_eval(h2o2_packed, 'ajac', y, P, 'f64')
+
+    @jax.jit
+    def step(p, yy):
+        J, f = jacobian_and_dydt(h2o2_packed, 0.0, p, yy)
+        return jnp.sum(J) + jnp.sum(f)
+
+    Pj, yj = jnp.asarray(P), jnp.asarray(y)
+    float(step(Pj, yj))
+    best = min(_time_one(step, Pj, yj) for _ in range(3))
+    assert ms <= 4 * best * 1e3 and best * 1e3 <= 4 * ms
+
+
+def _time_one(step, Pj, yj):
+    import time
+    t0 = time.perf_counter()
+    float(step(Pj, yj))
+    return time.perf_counter() - t0

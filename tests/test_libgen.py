@@ -37,3 +37,32 @@ def test_generate_and_load(h2o2_packed, h2o2_states, tmp_path):
         fscale = float(jnp.abs(f_ref).max())
         np.testing.assert_allclose(np.asarray(f2) / fscale,
                                    np.asarray(f_ref) / fscale, atol=1e-12)
+
+
+def test_conv_rates_kernel(h2o2_packed, h2o2_states, tmp_path):
+    """CONV 'rates' artifact must treat its param as density, not
+    pressure (recovering P from rho via the gas law)."""
+    from pyjac_tpu.ops.rates import eval_rxn_rates, get_rxn_pres_mod
+    from pyjac_tpu.ops.thermo import eval_conc, eval_conc_rho
+
+    out = str(tmp_path / 'libconv')
+    generate_library(h2o2_packed, out, kernels=('rates',), conp=False)
+    lib = load_library(out)
+    assert lib['manifest']['param'].startswith('density')
+
+    st = h2o2_states
+    sel = np.linspace(100, len(st['T']) - 1, 9).astype(int)
+    T = jnp.asarray(st['T'][sel])
+    P = jnp.asarray(st['P'][sel])
+    Y = jnp.asarray(st['Y_full'][sel, :-1])
+    _, _, rho, _ = eval_conc(h2o2_packed, T, P, Y)
+    y = jnp.asarray(st['y'][sel])
+
+    fwd, rev, pm = lib['rates'](rho, y)
+    _, _, pres, conc = eval_conc_rho(h2o2_packed, T, rho, Y)
+    fwd_ref, rev_ref = eval_rxn_rates(h2o2_packed, T, pres, conc)
+    pm_ref = get_rxn_pres_mod(h2o2_packed, T, pres, conc)
+    for a, b in ((fwd, fwd_ref), (rev, rev_ref), (pm, pm_ref)):
+        scale = float(jnp.abs(b).max()) + 1e-300
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b) / scale, atol=1e-12)

@@ -160,3 +160,16 @@ END
     # zero T3 replaced by 1e-30 (reference: mech_interpret.py:551-560)
     assert reacs[0].troe_par[1] == 1e-30
     assert reacs[0].troe_par[2] == 100.0
+
+
+def test_negative_plog_A_rejected(tmp_path):
+    """pack() must reject PLOG entries with A < 0: log-interpolating
+    |A| would silently flip the rate's sign (ADVICE r1)."""
+    from pyjac_tpu.core.pack import pack as pack_fn
+    text = synthetic_mechanism(n_species=9, n_reactions=14, seed=3)
+    text = text.replace('PLOG / 1.0 ', 'PLOG / 1.0 -', 1)
+    path = tmp_path / 'negplog.inp'
+    path.write_text(text)
+    mech = Mechanism.from_files(str(path))
+    with pytest.raises(NotImplementedError, match='PLOG'):
+        pack_fn(mech)

@@ -33,3 +33,44 @@ def test_summary(h2o2_packed):
     s = sparsity_summary(h2o2_packed)
     assert 0 < s['conv']['fill'] <= s['conp']['fill'] <= 1.0
     assert s['conp']['total'] == 100
+
+
+@pytest.mark.parametrize('conp', [True, False])
+def test_mask_covers_synthetic_with_plog_cheb(conp, tmp_path):
+    """CONV coupling through P(mw_avg(Y)) for PLOG/Chebyshev rows must
+    be inside the structural mask (ADVICE r1)."""
+    from pyjac_tpu.core.mech import Mechanism
+    from pyjac_tpu.core.pack import pack
+    from pyjac_tpu.testers.synthetic import random_states, \
+        synthetic_mechanism
+
+    path = tmp_path / 'synth.inp'
+    path.write_text(synthetic_mechanism(n_species=9, n_reactions=24,
+                                        seed=7))
+    mech = Mechanism.from_files(str(path))
+    packed = pack(mech)
+    assert packed.has_plog and packed.has_cheb
+
+    y, T, P = random_states(mech, 24, seed=11)
+    if conp:
+        param = jnp.asarray(P)
+    else:
+        _, _, param, _ = eval_conc(packed, jnp.asarray(T),
+                                   jnp.asarray(P),
+                                   jnp.asarray(y[:, 1:]))
+    J = np.asarray(eval_jacobian(packed, 0.0, param, jnp.asarray(y),
+                                 conp=conp))
+    mask = structural_sparsity(packed, conp=conp)
+    outside = J[:, ~mask]
+    scale = np.abs(J).max()
+    if outside.size:
+        assert np.abs(outside).max() <= scale * 1e-14
+    if not conp:
+        # rows of species produced by PLOG/Chebyshev reactions must be
+        # fully dense: P depends on mw_avg(Y) under CONV
+        nu = np.asarray(packed.nu_net)
+        pd = np.zeros(nu.shape[0], dtype=bool)
+        pd[np.asarray(packed.plog_idx)] = True
+        pd[np.asarray(packed.cheb_idx)] = True
+        touched = (np.abs(nu[pd]).sum(axis=0) != 0)[:-1]
+        assert mask[1:, 1:][touched].all()
