@@ -142,3 +142,19 @@ class Mechanism:
                    last_spec=len(specs) - 1,
                    fwd_spec_mapping=fwd, back_spec_mapping=back,
                    source=source)
+
+    def restrict_reactions(self, indices) -> "Mechanism":
+        """A copy of this mechanism stripped to the listed reactions
+        (file order) — the functional tester's ``--only_reaction``
+        triage hook (reference: pyjac/functional_tester/test.py:1139-1144,
+        which rebuilds the Cantera Solution from a reaction subset).
+        Species and the last-species pivot are unchanged."""
+        import dataclasses
+        indices = [int(i) for i in indices]
+        n = len(self.reacs)
+        bad = [i for i in indices if not (0 <= i < n)]
+        if bad:
+            raise IndexError('reaction indices out of range: %s (have %d '
+                             'reactions)' % (bad, n))
+        return dataclasses.replace(
+            self, reacs=[self.reacs[i] for i in indices])

@@ -18,9 +18,12 @@ from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-# Veltkamp split constant for float32 (24-bit mantissa): 2^12 + 1
-_SPLIT = jnp.float32(4097.0)
+# Veltkamp split constant for float32 (24-bit mantissa): 2^12 + 1.
+# np scalars (not jnp): jnp scalars become captured device constants,
+# which pallas_call kernels reject.
+_SPLIT = np.float32(4097.0)
 
 
 class DD(NamedTuple):
@@ -29,35 +32,76 @@ class DD(NamedTuple):
     lo: jnp.ndarray
 
 
+_BARRIER_MODE = 'xla'    # 'xla' | 'bitcast' | 'none'
+
+
 def _barrier(x):
     """Defeat algebraic simplification: XLA on TPU (with
     --xla_allow_excess_precision) folds error-free transformation
     patterns like (a - (s - bb)) + (b - bb) into zero, silently
     destroying double-float arithmetic (observed: 1e-8 instead of
-    1e-13 accuracy). A data-dependence barrier keeps the rounding."""
+    1e-13 accuracy). A data-dependence barrier keeps the rounding.
+
+    Mosaic (real-TPU Pallas) has no optimization_barrier lowering, so
+    kernel bodies are traced under :func:`barrier_mode` with 'bitcast'
+    (an f32<->u32 round-trip Mosaic does not fold) or 'none'."""
+    if _BARRIER_MODE == 'none':
+        return x
+    if _BARRIER_MODE == 'bitcast':
+        if jnp.ndim(x) == 0:      # Mosaic tpu.bitcast is vector-only
+            return x
+        u = jax.lax.bitcast_convert_type(x, jnp.uint32)
+        return jax.lax.bitcast_convert_type(u, jnp.float32)
     return jax.lax.optimization_barrier(x)
 
 
+class barrier_mode:
+    """Context manager selecting the simplification barrier used while
+    *tracing* dd math (the mode is baked into the traced program)."""
+
+    def __init__(self, mode: str):
+        assert mode in ('xla', 'bitcast', 'none'), mode
+        self.mode = mode
+
+    def __enter__(self):
+        global _BARRIER_MODE
+        self.prev = _BARRIER_MODE
+        _BARRIER_MODE = self.mode
+
+    def __exit__(self, *exc):
+        global _BARRIER_MODE
+        _BARRIER_MODE = self.prev
+
+
 def two_sum(a, b) -> DD:
-    """Error-free a + b (Knuth): s + e == a + b exactly."""
+    """Error-free a + b (Knuth): s + e == a + b exactly.
+
+    Every intermediate is barriered: XLA (allow_excess_precision)
+    reassociates partially-protected EFT expressions depending on the
+    fusion context (observed: identical math giving different slices
+    inside vs outside lax.scan), so each rounding must be pinned."""
     s = _barrier(a + b)
     bb = _barrier(s - a)
-    e = (a - _barrier(s - bb)) + (b - bb)
+    t1 = _barrier(s - bb)
+    t2 = _barrier(a - t1)
+    t3 = _barrier(b - bb)
+    e = t2 + t3
     return DD(s, e)
 
 
 def fast_two_sum(a, b) -> DD:
     """Error-free a + b assuming |a| >= |b| (Dekker)."""
     s = _barrier(a + b)
-    e = b - _barrier(s - a)
+    t = _barrier(s - a)
+    e = b - t
     return DD(s, e)
 
 
 def _split(a) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Veltkamp split: a == a_hi + a_lo with 12-bit halves."""
     t = _barrier(_SPLIT * a)
-    a_hi = t - _barrier(t - a)
-    return a_hi, a - a_hi
+    a_hi = _barrier(t - _barrier(t - a))
+    return a_hi, _barrier(a - a_hi)
 
 
 def two_prod(a, b) -> DD:
@@ -65,8 +109,10 @@ def two_prod(a, b) -> DD:
     p = _barrier(a * b)
     a_hi, a_lo = _split(a)
     b_hi, b_lo = _split(b)
-    e = ((_barrier(a_hi * b_hi) - p) + _barrier(a_hi * b_lo) +
-         _barrier(a_lo * b_hi)) + a_lo * b_lo
+    e1 = _barrier(_barrier(a_hi * b_hi) - p)
+    e2 = _barrier(e1 + _barrier(a_hi * b_lo))
+    e3 = _barrier(e2 + _barrier(a_lo * b_hi))
+    e = e3 + _barrier(a_lo * b_lo)
     return DD(p, e)
 
 
@@ -138,9 +184,9 @@ def dd_to_f64(a: DD):
 # --- transcendentals --------------------------------------------------------
 # Cody-Waite split of ln 2: C1 has a 12-bit mantissa so k * C1 is exact
 # for |k| <= 2^11; C1 + C2 + C3 == ln 2 to ~2^-70
-_LN2_C1 = jnp.float32(0.693115234375)
-_LN2_C2 = jnp.float32(3.194618329871446e-05)
-_LN2_C3 = jnp.float32(1.6465717678215697e-12)
+_LN2_C1 = np.float32(0.693115234375)
+_LN2_C2 = np.float32(3.194618329871446e-05)
+_LN2_C3 = np.float32(1.6465717678215697e-12)
 
 
 def _pow2i(k):
@@ -177,7 +223,7 @@ def dd_exp(a: DD) -> DD:
     f32-denormal — the intrinsic double-float range floor).
     """
     import numpy as np
-    k = jnp.round(a.hi * jnp.float32(1.4426950408889634))   # a/ln2
+    k = jnp.round(a.hi * np.float32(1.4426950408889634))   # a/ln2
     r = dd_add_f(a, -k * _LN2_C1)          # exact product (12-bit C1)
     p2 = two_prod(k, _LN2_C2)              # exact
     r = dd_add(r, DD(-p2.hi, -p2.lo))
@@ -194,20 +240,33 @@ def dd_exp(a: DD) -> DD:
 
 
 def dd_log(a: DD) -> DD:
-    """log(a) to ~2^-45 absolute, for a > 0.
+    """log(a) to ~2^-45 relative-to-log, for a > 0 and a.hi normal.
 
-    Two dd Newton steps y <- y + (a e^{-y} - 1) on the f32 seed: TPU's
-    hardware f32 log is only ~5e-6 accurate (CPU's is ~1 ulp), so a
-    single step leaves ~5e-9 residual.
+    Range-reduce a = m 2^k with m in [1, 2) (exact power-of-two
+    scaling), run two dd Newton steps y <- y + (m e^{-y} - 1) on the
+    f32 seed (TPU's hardware f32 log is only ~5e-6 accurate, so a
+    single step leaves ~5e-9), and add k ln2 in Cody-Waite pieces.
+    Without the reduction, |log a| > ~55 drives e^{-y} into the
+    double-float denormal floor and costs ~2^-31.
     """
-    y0 = jnp.log(a.hi)
+    u = jax.lax.bitcast_convert_type(a.hi, jnp.int32)
+    k = ((u >> 23) & jnp.int32(0xFF)) - jnp.int32(127)
+    kf = k.astype(jnp.float32)
+    scale = _pow2i(-kf)                    # exact
+    m = DD(a.hi * scale, a.lo * scale)
+    y0 = jnp.log(m.hi)
     e = dd_exp(DD(-y0, jnp.zeros_like(y0)))
-    t = dd_mul(a, e)
-    y1 = dd_add_f(dd_add_f(t, jnp.float32(-1.0)), y0)
+    t = dd_mul(m, e)
+    y1 = dd_add_f(dd_add_f(t, np.float32(-1.0)), y0)
     e = dd_exp(dd_neg(y1))
-    t = dd_mul(a, e)
-    corr = dd_add_f(t, jnp.float32(-1.0))
-    return dd_add(corr, y1)
+    t = dd_mul(m, e)
+    corr = dd_add_f(t, np.float32(-1.0))
+    y = dd_add(corr, y1)
+    # + k ln2: k*C1 exact (12-bit C1, |k| <= 2^8)
+    y = dd_add_f(y, kf * _LN2_C1)
+    p2 = two_prod(kf, _LN2_C2)
+    y = dd_add(y, p2)
+    return dd_add_f(y, kf * _LN2_C3)
 
 
 def dd_const(x64) -> DD:
@@ -224,5 +283,5 @@ def dd_recip(a: DD) -> DD:
     r0 = 1.0 / a.hi
     # r1 = r0 * (2 - a r0)
     t = dd_mul_f(a, r0)
-    e = dd_add_f(DD(-t.hi, -t.lo), jnp.float32(2.0))
+    e = dd_add_f(DD(-t.hi, -t.lo), np.float32(2.0))
     return dd_mul_f(e, r0)

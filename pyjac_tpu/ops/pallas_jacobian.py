@@ -20,9 +20,12 @@ Design choices (see docs/architecture.md):
 * the final species-block contraction is one (N, R) @ (R, J*B_T) GEMM
   per tile.
 
-Currently f32, CONP, and the Arrhenius / third-body / Lindemann / Troe /
-SRI / chemically-activated categories (PLOG and Chebyshev rows fall
-back to the XLA path; see ``supports``).
+f32, CONP and CONV, covering every reaction category — Arrhenius,
+third-body, Lindemann / Troe / SRI falloff, chemically-activated, PLOG,
+Chebyshev, negative-A and fractional stoichiometry; only sign-flipping
+PLOG ladders and very large mechanisms (one-hot constants beyond ~50 MB)
+fall back to the XLA path (see ``supports``).  The f64-grade variant of
+this kernel is :mod:`pyjac_tpu.ops.pallas_dd`.
 """
 
 from __future__ import annotations

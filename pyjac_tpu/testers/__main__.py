@@ -28,6 +28,13 @@ def main(argv=None) -> int:
                         dest='fail_above',
                         help='Exit non-zero if the thresholded Jacobian '
                              'max relative error exceeds this.')
+    parser.add_argument('-or', '--only_reaction', default=None,
+                        help='Comma-separated reaction indices: strip '
+                             'the mechanism to just these for triage '
+                             '(reference test.py:1139-1144).')
+    parser.add_argument('-cn', '--condition_numbers', default=None,
+                        help='Comma-separated state indices to test '
+                             '(reference test.py:1260-1262).')
     args = parser.parse_args(argv)
 
     import jax
@@ -40,6 +47,9 @@ def main(argv=None) -> int:
 
     mech = Mechanism.from_files(args.input, args.thermo,
                                 last_spec=args.last_species)
+    if args.only_reaction:
+        mech = mech.restrict_reactions(
+            [int(x) for x in args.only_reaction.split(',')])
     packed = pack(mech)
 
     if args.data:
@@ -54,9 +64,11 @@ def main(argv=None) -> int:
             [np.zeros((len(T), 1)), T[:, None], P[:, None],
              Y_full[:, back]], axis=1)
 
+    cn = ([int(x) for x in args.condition_numbers.split(',')]
+          if args.condition_numbers else None)
     err = run_functional_test(mech, packed, states, conp=not args.conv,
                               num_states=args.num_states,
-                              out_file=args.out)
+                              out_file=args.out, condition_numbers=cn)
     worst = err['err_jac_thr_max'].max()
     if worst > args.fail_above:
         print('FAIL: thresholded Jacobian error %.3e > %.1e' %

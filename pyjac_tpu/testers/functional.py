@@ -130,13 +130,16 @@ def run_functional_test(mech: Mechanism, packed: Optional[PackedMechanism],
                         num_states: Optional[int] = None,
                         fd_order: int = 6,
                         out_file: Optional[str] = 'error_arrays.npz',
-                        verbose: bool = True) -> Dict[str, np.ndarray]:
+                        verbose: bool = True,
+                        condition_numbers=None) -> Dict[str, np.ndarray]:
     """Run the full parity suite over PaSR-style states.
 
     ``states`` rows are ``[t, T, P, Y_original_order...]`` (the PaSR
     dump layout, partially_stirred_reactor.py:877). Returns the error
     arrays (and writes them to ``out_file``), in the same spirit as
-    reference test.py:1282-1587.
+    reference test.py:1282-1587.  ``condition_numbers`` selects specific
+    state rows for triage (reference test.py:1260-1262) and overrides
+    ``num_states``.
     """
     import jax
     import jax.numpy as jnp
@@ -149,7 +152,10 @@ def run_functional_test(mech: Mechanism, packed: Optional[PackedMechanism],
     if packed is None:
         packed = pack(mech)
     states = np.asarray(states)
-    if num_states is not None:
+    if condition_numbers is not None:
+        sel = [int(x) for x in condition_numbers]
+        states = states[sel]
+    elif num_states is not None:
         idx = np.linspace(0, len(states) - 1, num_states).astype(int)
         states = states[idx]
     n = len(states)

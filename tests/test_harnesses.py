@@ -230,3 +230,29 @@ def _time_one(step, Pj, yj):
     t0 = time.perf_counter()
     float(step(Pj, yj))
     return time.perf_counter() - t0
+
+
+def test_functional_tester_triage_hooks(h2o2_cti, tmp_path):
+    """--only_reaction strips the mechanism; --condition_numbers selects
+    states (reference: functional_tester/test.py:1139-1144, :1260-1262)."""
+    from pyjac_tpu.core.mech import Mechanism
+    from pyjac_tpu.testers.__main__ import main as ft_main
+
+    mech = Mechanism.from_files(h2o2_cti)
+    sub = mech.restrict_reactions([0, 2, 5])
+    assert sub.n_reactions == 3
+    assert sub.reacs[1] is mech.reacs[2]
+    assert sub.n_species == mech.n_species
+    import pytest as _pytest
+    with _pytest.raises(IndexError):
+        mech.restrict_reactions([999])
+
+    out = tmp_path / 'err.npz'
+    rc = ft_main(['-i', h2o2_cti, '-n', '4',
+                  '--only_reaction', '0,1,2,3',
+                  '--condition_numbers', '0,2',
+                  '-o', str(out), '--fail-above', '1e-6'])
+    assert rc == 0
+    import numpy as np
+    err = np.load(out)
+    assert len(err['err_jac_thr_max']) == 2
