@@ -56,12 +56,21 @@ def _species_thermo(name: str, elems, rng) -> str:
 
 
 def synthetic_mechanism(n_species: int = 9, n_reactions: int = 24,
-                        seed: int = 0, all_features: bool = True) -> str:
+                        seed: int = 0, all_features: bool = True,
+                        gri_mix: bool = False) -> str:
     """Return Chemkin mechanism text with the requested size.
 
     When ``all_features`` is set, the first ~10 reactions cycle through
     every special category; the rest are random elementary/third-body/
     falloff reactions.
+
+    ``gri_mix`` (implies ``all_features=False``) matches the reaction-
+    category proportions of real GRI-Mech 3.0 — ~87% reversible
+    elementary, ~6% plain third-body, ~7% Troe/Lindemann falloff, a
+    duplicate pair, and **no** PLOG/Chebyshev/SRI — so flagship
+    benchmarks exercise the same kernel paths a real GRI-3.0 run would
+    (the GRI/USC/LLNL source files themselves are not obtainable in
+    this offline environment; see docs/performance.md).
     """
     rng = np.random.default_rng(seed)
     assert n_species >= 5
@@ -102,6 +111,15 @@ def synthetic_mechanism(n_species: int = 9, n_reactions: int = 24,
             lines.extend(extra)
 
     count = 0
+    if gri_mix:
+        all_features = False
+        # one duplicate pair (GRI has a handful)
+        s = pick(4)
+        A, b, E = arr()
+        w('{}+{}<=>{}+{}'.format(*s[:4]), A, b, E, [' DUPLICATE'])
+        w('{}+{}<=>{}+{}'.format(*s[:4]), A / 5, b, E * 1.05,
+          [' DUPLICATE'])
+        count = 2
     if all_features:
         s = pick(6)
         # 1: irreversible
@@ -173,14 +191,23 @@ def synthetic_mechanism(n_species: int = 9, n_reactions: int = 24,
         w('{}+0.5{}<=>{}'.format(s[0], s[1], s[2]), A, b, E)
         count = 13
 
+    # category proportions: GRI-3.0 is ~87% elementary / ~6% third-body
+    # / ~7% falloff; the generic mix is 60/20/20.  The non-gri draw
+    # must stay integers(0, 10): pinned seeds (golden fixtures)
+    # reproduce the mechanism from the generator's RNG stream.
     while count < n_reactions:
-        kind = rng.integers(0, 10)
+        if gri_mix:
+            kind = float(rng.integers(0, 100)) / 10.0
+            elem_cut, thd_cut = 8.7, 9.3
+        else:
+            kind = rng.integers(0, 10)
+            elem_cut, thd_cut = 6, 8
         s = pick(4)
         A, b, E = arr()
-        if kind < 6:
+        if kind < elem_cut:
             nu = '2' if rng.random() < 0.2 else ''
             w('{}{}+{}<=>{}+{}'.format(nu, *s[:4]), A, b, E)
-        elif kind < 8:
+        elif kind < thd_cut:
             w('{}+{}+M<=>{}+M'.format(*s[:3]), A / 1e3, b, E,
               ['{}/{:.2f}/ {}/{:.2f}/'.format(s[3], rng.uniform(0, 3),
                                               s[0], rng.uniform(0, 3))])
