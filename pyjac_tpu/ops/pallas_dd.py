@@ -104,7 +104,7 @@ def _dd_entries(name, dd: DDA, consts):
     consts['%s_lo' % name] = np.asarray(dd.lo, np.float32)
 
 
-def _consts_dd(packed, conp=True, n_dyn=12):
+def _consts_dd(packed, conp=True, n_dyn=8):
     """Constant tensors (numpy) + static meta for the dd kernel.
 
     Layout mirrors pallas_jacobian._consts: per-reaction values (R, 1),
@@ -867,7 +867,7 @@ def _split64(x):
 
 
 def jacobian_dd_xla(packed, param, y, conp: bool = True,
-                    n_dyn: int = 12):
+                    n_dyn: int = 8):
     """(J, dydt) in f64 via double-float arithmetic under plain XLA.
 
     ``y``: (B, N) f64 batch-major states [T, Y_1..Y_{N-1}]; ``param``
@@ -983,7 +983,7 @@ class PallasDDJacobian:
     """
 
     def __init__(self, packed, block_b: int = 0, interpret: bool = False,
-                 conp: bool = True, n_dyn: int = 12):
+                 conp: bool = True, n_dyn: int = 8):
         if not supports(packed):
             raise NotImplementedError(
                 'mechanism outside Pallas coverage: use jacobian_dd_xla')
