@@ -63,12 +63,18 @@ def gauss_solve(A, b):
     return x
 
 
+STATUS_SUCCESS = 0        # reached t_end
+STATUS_UNDERFLOW = 1      # step size underflowed (stiff failure)
+STATUS_BUDGET = 2         # per-state step budget exhausted mid-run
+
+
 class IntegrateResult(NamedTuple):
     y: jnp.ndarray          # (B, N) final states
     t: jnp.ndarray          # (B,) final times (== t_end on success)
     steps: jnp.ndarray      # (B,) accepted steps
     rejected: jnp.ndarray   # (B,) rejected steps
     success: jnp.ndarray    # (B,) bool
+    status: jnp.ndarray     # (B,) int32 STATUS_* code
 
 
 def integrate(packed, y0, param, t_end, conp: bool = True,
@@ -80,6 +86,13 @@ def integrate(packed, y0, param, t_end, conp: bool = True,
     ``[T, Y_1..Y_{N-1}]``, ``param`` is pressure (CONP) or density
     (CONV) per state, ``t_end`` a scalar or per-state array. Entirely
     jittable; every state adapts its own step size.
+
+    ``max_steps`` is a *per-state* attempt budget (accepted + rejected
+    steps): one stiff straggler no longer burns the whole batch's
+    budget, and a state that runs out is reported with
+    ``status == STATUS_BUDGET`` (distinct from step-size underflow,
+    ``STATUS_UNDERFLOW``).  A global iteration backstop of
+    ``2 * max_steps`` bounds the while_loop.
     """
     y0 = jnp.asarray(y0)
     B, N = y0.shape
@@ -108,12 +121,17 @@ def integrate(packed, y0, param, t_end, conp: bool = True,
         failed: jnp.ndarray
         iters: jnp.ndarray
 
+    def attempts(c):
+        return c.steps + c.rejected
+
     def cond(c: Carry):
-        active = (c.t < t_end) & ~c.failed
-        return jnp.any(active) & (c.iters < max_steps)
+        active = (c.t < t_end) & ~c.failed & \
+            (attempts(c) < max_steps)
+        return jnp.any(active) & (c.iters < 2 * max_steps)
 
     def body(c: Carry):
-        active = (c.t < t_end) & ~c.failed
+        active = (c.t < t_end) & ~c.failed & \
+            (attempts(c) < max_steps)
         h = jnp.minimum(c.h, t_end - c.t)
         h = jnp.where(active, h, 1.0)          # benign value on done rows
 
@@ -165,7 +183,11 @@ def integrate(packed, y0, param, t_end, conp: bool = True,
                  iters=jnp.zeros((), jnp.int32))
     out = jax.lax.while_loop(cond, body, init)
     success = (out.t >= t_end) & ~out.failed
-    return IntegrateResult(out.y, out.t, out.steps, out.rejected, success)
+    status = jnp.where(success, STATUS_SUCCESS,
+                       jnp.where(out.failed, STATUS_UNDERFLOW,
+                                 STATUS_BUDGET)).astype(jnp.int32)
+    return IntegrateResult(out.y, out.t, out.steps, out.rejected, success,
+                           status)
 
 
 def ignition_delay(packed, y0, param, t_end, threshold: float = 400.0,
