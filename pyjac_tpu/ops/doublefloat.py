@@ -217,24 +217,31 @@ def dd_exp(a: DD) -> DD:
     """exp(a) to ~2^-45 relative (vs f32 exp's ~2^-24).
 
     Argument reduction a = k ln2 + r with ln2 in double-float, then a
-    degree-12 Taylor polynomial in dd-Horner form, rescaled by the exact
-    power of two. Valid for |a.hi| < 87 (f32 exp range); full ~2^-45
-    precision requires |result| >~ 1e-30 (below that the low word goes
+    degree-12 Taylor polynomial rescaled by the exact power of two.
+    The tail (degrees 7-12) contributes < r^7/7! ~ 2^-21 of the result,
+    so it runs in plain f32 Horner form (its 2^-24 relative error lands
+    at ~2^-45 absolute) and only degrees 0-6 use dd steps — the dd
+    Jacobian kernel is VPU-bound on exactly this function.
+    Valid for |a.hi| < 87 (f32 exp range); full ~2^-45 precision
+    requires |result| >~ 1e-30 (below that the low word goes
     f32-denormal — the intrinsic double-float range floor).
     """
-    import numpy as np
     k = jnp.round(a.hi * np.float32(1.4426950408889634))   # a/ln2
     r = dd_add_f(a, -k * _LN2_C1)          # exact product (12-bit C1)
     p2 = two_prod(k, _LN2_C2)              # exact
     r = dd_add(r, DD(-p2.hi, -p2.lo))
     r = dd_add_f(r, -k * _LN2_C3)
-    chi, clo = _EXP_COEFFS[0]
-    acc = DD(jnp.full_like(a.hi, np.float32(chi)),
-             jnp.full_like(a.hi, np.float32(clo)))
-    for chi, clo in _EXP_COEFFS[1:]:
+    # f32 tail: degrees 12..7 of 1/n!
+    tail = jnp.full_like(a.hi, np.float32(_EXP_COEFFS[0][0]))
+    for chi, _ in _EXP_COEFFS[1:6]:
+        tail = tail * r.hi + np.float32(chi)
+    # dd head: degrees 6..0 seeded with the tail
+    acc = DD(tail, jnp.zeros_like(tail))
+    for chi, clo in _EXP_COEFFS[6:]:
         t = dd_mul(acc, r)
-        acc = dd_add(t, DD(jnp.full_like(a.hi, np.float32(chi)),
-                           jnp.full_like(a.hi, np.float32(clo))))
+        acc = dd_add_f(t, np.float32(chi))
+        if clo != 0.0:
+            acc = dd_add_f(acc, np.float32(clo))
     scale = _pow2i(k)
     return DD(acc.hi * scale, acc.lo * scale)
 
@@ -254,13 +261,25 @@ def dd_log(a: DD) -> DD:
     kf = k.astype(jnp.float32)
     scale = _pow2i(-kf)                    # exact
     m = DD(a.hi * scale, a.lo * scale)
+    # TPU's hardware f32 log (and exp) are only ~1e-5-accurate seeds.
+    # One dd Newton from the refined seed leaves ~seed_err^2; the
+    # second Newton reuses the SAME dd_exp via
+    # e^{-y1} = e^{-y0} * e^{-dy} with dy tiny (cubic series) — full
+    # two-step convergence for a handful of dd ops instead of a second
+    # dd_exp (this function dominates the dd kernel's VPU time).
     y0 = jnp.log(m.hi)
+    y0 = y0 + (m.hi * jnp.exp(-y0) - np.float32(1.0))
     e = dd_exp(DD(-y0, jnp.zeros_like(y0)))
     t = dd_mul(m, e)
-    y1 = dd_add_f(dd_add_f(t, np.float32(-1.0)), y0)
-    e = dd_exp(dd_neg(y1))
-    t = dd_mul(m, e)
-    corr = dd_add_f(t, np.float32(-1.0))
+    dy = dd_add_f(t, np.float32(-1.0))     # first Newton correction
+    y1 = dd_add_f(dy, y0)
+    # e^{-dy} ~ 1 - dy (1 - dy/2 (1 - dy/3)), |dy| <~ 1e-4
+    third = dd_mul_f(dy, np.float32(1.0 / 3.0))
+    inner = dd_mul(dy, dd_add_f(dd_neg(third), np.float32(0.5)))
+    fac = dd_mul(dy, dd_add_f(dd_neg(inner), np.float32(1.0)))
+    e2 = dd_mul(e, dd_add_f(dd_neg(fac), np.float32(1.0)))
+    t2 = dd_mul(m, e2)
+    corr = dd_add_f(t2, np.float32(-1.0))
     y = dd_add(corr, y1)
     # + k ln2: k*C1 exact (12-bit C1, |k| <= 2^8)
     y = dd_add_f(y, kf * _LN2_C1)

@@ -104,7 +104,7 @@ def _dd_entries(name, dd: DDA, consts):
     consts['%s_lo' % name] = np.asarray(dd.lo, np.float32)
 
 
-def _consts_dd(packed, conp=True, n_dyn=8):
+def _consts_dd(packed, conp=True, n_dyn=8, ext_gather=False):
     """Constant tensors (numpy) + static meta for the dd kernel.
 
     Layout mirrors pallas_jacobian._consts: per-reaction values (R, 1),
@@ -134,7 +134,7 @@ def _consts_dd(packed, conp=True, n_dyn=8):
                     consts, meta)                       # (R, N) over N
     _sliced_entries('invw', ddx.slice_static(packed.inv_mw[None, :], w=8),
                     consts, meta)                       # (1, N)
-    if packed.has_pres_mod:
+    if packed.has_pres_mod and not ext_gather:
         _sliced_entries('effm1', ddx.slice_static(packed.eff_m1, w=8),
                         consts, meta)                   # (R, N)
 
@@ -198,16 +198,20 @@ def _consts_dd(packed, conp=True, n_dyn=8):
 
     Wf, lastf = scatter_w(packed.reac_sp, Sf)
     Wp, lastp = scatter_w(packed.prod_sp, Sp)
-    for i, g in enumerate(gather_mats(packed.reac_sp, Sf)):
-        consts['G_f%d' % i] = g
-    for i, g in enumerate(gather_mats(packed.prod_sp, Sp)):
-        consts['G_p%d' % i] = g
+    if not ext_gather:
+        for i, g in enumerate(gather_mats(packed.reac_sp, Sf)):
+            consts['G_f%d' % i] = g
+        for i, g in enumerate(gather_mats(packed.prod_sp, Sp)):
+            consts['G_p%d' % i] = g
+    # per-slot species indices as f32 (R, 1): the column loop builds
+    # its masks by direct comparison against the column index — no
+    # (R, J) one-hot matrices needed at any mechanism size
     for i in range(Sf):
-        consts['W_f%d' % i] = Wf[i]
+        consts['spf%d' % i] = f32(packed.reac_sp[:, i])[:, None]
         consts['last_f%d' % i] = lastf[i][:, None]
         _dd_entries('nu_f%d' % i, _ddc(col(packed.reac_nu[:, i])), consts)
     for i in range(Sp):
-        consts['W_p%d' % i] = Wp[i]
+        consts['spp%d' % i] = f32(packed.prod_sp[:, i])[:, None]
         consts['last_p%d' % i] = lastp[i][:, None]
         _dd_entries('nu_p%d' % i, _ddc(col(packed.prod_nu[:, i])), consts)
     consts['ordf'] = None  # placeholder removed below
@@ -220,21 +224,34 @@ def _consts_dd(packed, conp=True, n_dyn=8):
 
     # --- pressure modification ---------------------------------------------
     if packed.has_pres_mod:
-        alpha_tilde = (packed.eff_m1[:, :-1] * packed.inv_mw[None, :-1] -
-                       (packed.eff_m1[:, -1] * packed.inv_mw[-1])[:, None])
-        _dd_entries('alpha_tilde', _ddc(alpha_tilde), consts)
+        # third-body efficiencies as sparse slots (column-compare form
+        # of alpha_tilde[r, j] = eff_m1[r, j]/W_j - eff_m1[r, N-1]/W_N):
+        # the j-dependent first term is a per-slot index compare, the
+        # second is column-independent
+        eff_red = np.asarray(packed.eff_m1[:, :-1])
+        nnz_rows = [np.nonzero(eff_red[r])[0] for r in range(R)]
+        S_eff = max((len(z) for z in nnz_rows), default=0)
+        S_eff = max(S_eff, 1)
+        eff_idx = np.full((R, S_eff), -1.0)
+        eff_val = np.zeros((R, S_eff))
+        for r, z in enumerate(nnz_rows):
+            eff_idx[r, :len(z)] = z
+            eff_val[r, :len(z)] = eff_red[r, z]
+        meta['S_eff'] = S_eff
+        for s in range(S_eff):
+            consts['effidx%d' % s] = f32(eff_idx[:, s])[:, None]
+            _dd_entries('effval%d' % s, _ddc(col(eff_val[:, s])), consts)
+        _dd_entries('at_last', _ddc(col(
+            packed.eff_m1[:, -1] * packed.inv_mw[-1])), consts)
         pd = np.asarray(packed.pdep_sp_idx)
-        pd_tilde = np.zeros((R, J))
-        for r in np.where(pd >= 0)[0]:
-            if pd[r] < J:
-                pd_tilde[r, pd[r]] += packed.inv_mw[pd[r]]
-            else:
-                pd_tilde[r, :] -= packed.inv_mw[-1]
-        _dd_entries('pd_tilde', _ddc(pd_tilde), consts)
-        pd_onehot = np.zeros((R, N), np.float32)
+        consts['pdidxf'] = f32(np.where(pd >= 0, pd, -1))[:, None]
+        _dd_entries('pd_last', _ddc(col(np.where(
+            pd == N - 1, -packed.inv_mw[-1], 0.0))), consts)
+        pd_onehot = np.zeros((R, N), np.float32)  # (skipped in ext mode)
         rows = np.where(pd >= 0)[0]
         pd_onehot[rows, np.maximum(pd[rows], 0)] = 1.0
-        consts['pd_onehot'] = pd_onehot
+        if not ext_gather:
+            consts['pd_onehot'] = pd_onehot
         consts['spec_mask'] = f32(pd >= 0)[:, None]
         consts['thd_mask'] = f32(packed.thd_only_mask)[:, None]
         consts['fall_mask'] = f32(packed.falloff_mask)[:, None]
@@ -314,6 +331,7 @@ def _consts_dd(packed, conp=True, n_dyn=8):
                     np.round(packed.prod_nu[:, i])).any())
               for i in range(Sp)]
     meta.update({
+        'ext_gather': bool(ext_gather),
         'frac_f': frac_f, 'frac_p': frac_p,
         'max_nu': packed.max_nu_int,
         'has_rev': packed.has_rev,
@@ -380,7 +398,8 @@ def _compute_dd(meta, C, y: DDA, P_in: DDA):
     else:
         rho = P_in
         P = rho * (_RU * T) * inv_wbar
-    conc = rho * Y_full * _cdd(C, 'inv_mw_col')          # (N, B)
+    conc = (None if meta.get('ext_gather')
+            else rho * Y_full * _cdd(C, 'inv_mw_col'))   # (N, B)
 
     # --- thermo: two-range NASA tables in dd --------------------------------
     # dd compare (hi with lo tie-break): states sitting exactly on
@@ -534,7 +553,10 @@ def _compute_dd(meta, C, y: DDA, P_in: DDA):
     def slot_products(prefix, S):
         cgs, pows = [], []
         for si in range(S):
-            cg = ddx.gather_dot(C['G_%s%d' % (prefix, si)], conc)
+            if meta.get('ext_gather'):
+                cg = _cdd(C, 'cg_%s%d' % (prefix, si))
+            else:
+                cg = ddx.gather_dot(C['G_%s%d' % (prefix, si)], conc)
             nu_s = _cdd(C, 'nu_%s%d' % (prefix, si))
             zero = nu_s.hi == 0.0
             one = ddx.wrap(jnp.ones_like(cg.hi))
@@ -597,7 +619,10 @@ def _compute_dd(meta, C, y: DDA, P_in: DDA):
     xi = ddx.zeros_like(kf)
     if meta['has_pres_mod']:
         m_tb = P * ddx.recip(_RU * T)                      # (1, B)
-        thd = m_tb + _mm(C, meta, 'effm1', conc)
+        if meta.get('ext_gather'):
+            thd = m_tb + _cdd(C, 'effc')
+        else:
+            thd = m_tb + _mm(C, meta, 'effm1', conc)
         tm = C['thd_mask']
         pm = pm + _mask_mul(thd - 1.0, tm)
         if conp:
@@ -632,7 +657,10 @@ def _compute_dd(meta, C, y: DDA, P_in: DDA):
             kinf = kf
             dlnkinf = dlnkf_dT
         if meta['has_spec_pdep']:
-            c_pd = ddx.gather_dot(C['pd_onehot'], conc)
+            if meta.get('ext_gather'):
+                c_pd = _cdd(C, 'cpd')
+            else:
+                c_pd = ddx.gather_dot(C['pd_onehot'], conc)
             sm = C['spec_mask']
             X = ddx.where(sm > 0.5, c_pd, thd.broadcast_to(kf.shape))
         else:
@@ -803,47 +831,59 @@ def _compute_dd(meta, C, y: DDA, P_in: DDA):
                 ish=ish, cp=cp, mw_avg=mw_avg, fT=fT)
 
 
-def _column_dd(meta, C, parts, e_j, w_j: DDA, u_j: DDA,
-               cp_j: DDA) -> DDA:
-    """One reduced-species Jacobian column (N, B) for one-hot e_j."""
-    J = meta['J']
+def _p1_col(meta, C, parts, colf, w_j: DDA) -> DDA:
+    """The dense assembly operand column P1[:, j] as (R, B) dd.
+
+    ``colf`` is the reduced-species column index as an f32 scalar: all
+    per-column selections are direct comparisons against tiny (R, 1)
+    index constants — no (R, J) one-hot matrices at any mechanism size
+    (the f32 kernel's W @ e_j matvecs were also latency-bound).
+    """
     Sf, Sp = meta['Sf'], meta['Sp']
-    conp = meta['conp']
     vals_f, vals_p = parts['vals_f'], parts['vals_p']
 
     # forward slots are species-disjoint (so are product slots): the
     # masked accumulations below are exact plain f32 adds
-    mk = lambda W: jnp.dot(W, e_j, precision=jax.lax.Precision.DEFAULT,
-                           preferred_element_type=jnp.float32)
-    mf = mk(C['W_f0'])
+    mf = (C['spf0'] == colf).astype(jnp.float32)
     acc_hi = vals_f[0].hi * mf
     acc_lo = vals_f[0].lo * mf
     for s in range(1, Sf):
-        m = mk(C['W_f%d' % s])
+        m = (C['spf%d' % s] == colf).astype(jnp.float32)
         acc_hi = acc_hi + vals_f[s].hi * m
         acc_lo = acc_lo + vals_f[s].lo * m
     sum_f = DDA(acc_hi, acc_lo)
-    m = mk(C['W_p0'])
+    m = (C['spp0'] == colf).astype(jnp.float32)
     acc_hi = vals_p[0].hi * m
     acc_lo = vals_p[0].lo * m
     for s in range(1, Sp):
-        m = mk(C['W_p%d' % s])
+        m = (C['spp%d' % s] == colf).astype(jnp.float32)
         acc_hi = acc_hi + vals_p[s].hi * m
         acc_lo = acc_lo + vals_p[s].lo * m
     sum_p = DDA(acc_hi, acc_lo)
 
     P1_col = (sum_f - sum_p) * w_j
     if meta['has_pres_mod']:
-        at_col = ddx.col_select(_cdd(C, 'alpha_tilde'), e_j)
+        # alpha_tilde column: disjoint efficiency slots, exact adds
+        m = (C['effidx0'] == colf).astype(jnp.float32)
+        at = _mask_mul(_cdd(C, 'effval0'), m)
+        for s in range(1, meta['S_eff']):
+            m = (C['effidx%d' % s] == colf).astype(jnp.float32)
+            at = DDA(at.hi + _cdd(C, 'effval%d' % s).hi * m,
+                     at.lo + _cdd(C, 'effval%d' % s).lo * m)
+        at_col = at * w_j - _cdd(C, 'at_last')
         P1_col = P1_col + parts['psi_q'] * at_col
         if meta['has_spec_pdep']:
-            pd_col = ddx.col_select(_cdd(C, 'pd_tilde'), e_j)
+            mpd = (C['pdidxf'] == colf).astype(jnp.float32)
+            pd_col = DDA(w_j.hi * mpd, w_j.lo * mpd) + _cdd(C, 'pd_last')
             P1_col = P1_col + parts['xi_q'] * pd_col
+    return P1_col
 
-    dcol = _mm(C, meta, 'nuT', P1_col)
+
+def _post_col(meta, C, parts, dcol: DDA, u_j: DDA, cp_j: DDA) -> DDA:
+    """Finish one column from its stoichiometric contraction dcol."""
+    J = meta['J']
     dcol = dcol + parts['v_u'] * u_j + parts['v_1']
-
-    if conp:
+    if meta['conp']:
         r_j = -(parts['mw_avg'] * u_j)
     else:
         r_j = ddx.zeros_like(parts['mw_avg'])
@@ -853,6 +893,37 @@ def _column_dd(meta, C, parts, e_j, w_j: DDA, u_j: DDA,
     JTY_col = (-(ddx.sum0(parts['eW'] * dcol) * parts['idenomT']) -
                parts['fT'] * (r_j + (cp_j - cp_N) * parts['ish']))
     return ddx.concat0([JTY_col, JYY_col])
+
+
+def _column_block_dd(meta, C, parts, col_specs):
+    """A group of Jacobian columns computed with ONE sliced contraction.
+
+    ``col_specs``: list of (e_j, w_j, u_j, cp_j).  Per-column work (the
+    masked P1 assembly, the rank-1 terms, the temperature row) is cheap
+    VPU math; the expensive pieces — slice extraction and the
+    nu-contraction's bf16 MXU passes — run once on the concatenated
+    (R, G*B) block.  Measured: the per-column version leaves the MXU at
+    ~4% utilization (hundreds of tiny latency-bound ops per tile).
+    """
+    B = parts['mw_avg'].hi.shape[-1]
+    G = len(col_specs)
+    p1 = [_p1_col(meta, C, parts, cf, w) for (cf, w, _, _) in col_specs]
+    blk = DDA(jnp.concatenate([p.hi for p in p1], axis=1),
+              jnp.concatenate([p.lo for p in p1], axis=1))
+    dblk = _mm(C, meta, 'nuT', blk)                     # (N, G*B)
+    out = []
+    for g, (_, _, u_j, cp_j) in enumerate(col_specs):
+        dcol = DDA(dblk.hi[:, g * B:(g + 1) * B],
+                   dblk.lo[:, g * B:(g + 1) * B])
+        out.append(_post_col(meta, C, parts, dcol, u_j, cp_j))
+    return out
+
+
+def _column_dd(meta, C, parts, colf, w_j: DDA, u_j: DDA,
+               cp_j: DDA) -> DDA:
+    """One reduced-species Jacobian column (N, B)."""
+    return _column_block_dd(meta, C, parts,
+                            [(colf, w_j, u_j, cp_j)])[0]
 
 
 # ---------------------------------------------------------------------------
@@ -907,15 +978,17 @@ def jacobian_dd_xla(packed, param, y, conp: bool = True,
     # context (observed accurate); the Mosaic kernel keeps its
     # fori_loop — Mosaic performs none of these rewrites (probed).
     cols_hi, cols_lo = [parts['col0'].hi[None]], [parts['col0'].lo[None]]
-    for j in range(J):
-        ids = jax.lax.broadcasted_iota(jnp.int32, (J, 1), 0)
-        e_j = (ids == j).astype(jnp.float32)
-        w_j = DDA(winv.hi[0:1, j:j + 1], winv.lo[0:1, j:j + 1])
-        u_j = DDA(u_vec.hi[0:1, j:j + 1], u_vec.lo[0:1, j:j + 1])
-        cp_j = DDA(cp.hi[j:j + 1], cp.lo[j:j + 1])
-        c = _column_dd(meta, C, parts, e_j, w_j, u_j, cp_j)
-        cols_hi.append(c.hi[None])
-        cols_lo.append(c.lo[None])
+    G = meta.get('col_group', 8)
+    for j0 in range(0, J, G):
+        specs = []
+        for j in range(j0, min(j0 + G, J)):
+            w_j = DDA(winv.hi[0:1, j:j + 1], winv.lo[0:1, j:j + 1])
+            u_j = DDA(u_vec.hi[0:1, j:j + 1], u_vec.lo[0:1, j:j + 1])
+            cp_j = DDA(cp.hi[j:j + 1], cp.lo[j:j + 1])
+            specs.append((np.float32(j), w_j, u_j, cp_j))
+        for c in _column_block_dd(meta, C, parts, specs):
+            cols_hi.append(c.hi[None])
+            cols_lo.append(c.lo[None])
     # assemble (column, row, batch) then -> (batch, row, column)
     J_hi = jnp.concatenate(cols_hi, axis=0)
     J_lo = jnp.concatenate(cols_lo, axis=0)
@@ -949,24 +1022,42 @@ def _kernel_dd(meta, names, *refs):
     cph_scr[...] = parts['cp'].hi
     cpl_scr[...] = parts['cp'].lo
 
-    def body(j, _):
-        ids = jax.lax.broadcasted_iota(jnp.int32, (J, 1), 0)
-        e_j = (ids == j).astype(jnp.float32)
+    G = meta.get('col_group', 8)
+
+    def spec_for(j):
+        colf = (jnp.int32(j) * 1).astype(jnp.float32) \
+            if not isinstance(j, int) else np.float32(j)
         w_j = DDA(cref['winv_hi'][0, j], cref['winv_lo'][0, j])
         u_j = DDA(cref['u_vec_hi'][0, j], cref['u_vec_lo'][0, j])
         cp_j = DDA(cph_scr[pl.ds(j, 1), :], cpl_scr[pl.ds(j, 1), :])
-        c = _column_dd(meta, C, parts, e_j, w_j, u_j, cp_j)
-        Jh_ref[pl.ds(j + 1, 1)] = c.hi[None]
-        Jl_ref[pl.ds(j + 1, 1)] = c.lo[None]
+        return (colf, w_j, u_j, cp_j)
+
+    def blk_body(b, _):
+        specs = [spec_for(b * G + g) for g in range(G)]
+        cols = _column_block_dd(meta, C, parts, specs)
+        for g, c in enumerate(cols):
+            Jh_ref[pl.ds(b * G + g + 1, 1)] = c.hi[None]
+            Jl_ref[pl.ds(b * G + g + 1, 1)] = c.lo[None]
         return _
 
+    n_full = J // G
     if meta.get('unroll_cols'):
         # interpret mode runs under XLA, whose loop-context rewrites
         # break dd chains (see jacobian_dd_xla) — unroll there
-        for j in range(J):
-            body(jnp.int32(j), jnp.int32(0))
-    else:
-        jax.lax.fori_loop(jnp.int32(0), jnp.int32(J), body, jnp.int32(0))
+        for b in range(n_full):
+            blk_body(jnp.int32(b), jnp.int32(0))
+    elif n_full:
+        jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_full), blk_body,
+                          jnp.int32(0))
+    if J % G:
+        # static residual columns: plain python ints (a jnp scalar
+        # inside pl.ds breaks Mosaic's load lowering)
+        specs = [spec_for(j) for j in range(n_full * G, J)]
+        cols = _column_block_dd(meta, C, parts, specs)
+        for g, c in enumerate(cols):
+            j = n_full * G + g
+            Jh_ref[pl.ds(j + 1, 1)] = c.hi[None]
+            Jl_ref[pl.ds(j + 1, 1)] = c.lo[None]
 
 
 def supports(packed) -> bool:
@@ -983,7 +1074,7 @@ class PallasDDJacobian:
     """
 
     def __init__(self, packed, block_b: int = 0, interpret: bool = False,
-                 conp: bool = True, n_dyn: int = 8):
+                 conp: bool = True, n_dyn: int = 8, col_group: int = 1):
         if not supports(packed):
             raise NotImplementedError(
                 'mechanism outside Pallas coverage: use jacobian_dd_xla')
@@ -1000,6 +1091,7 @@ class PallasDDJacobian:
         self.consts, self.meta = _consts_dd(packed, conp=conp,
                                             n_dyn=n_dyn)
         self.meta['unroll_cols'] = bool(interpret)
+        self.meta['col_group'] = int(col_group)
         self.names = list(self.consts.keys())
         N = self.meta['N']
         smem = ('u_vec_hi', 'u_vec_lo', 'winv_hi', 'winv_lo')
@@ -1077,6 +1169,299 @@ class PallasDDJacobian:
         # low word (observed: 6e-8 instead of 7e-10 golden error)
         Jmat = (np.asarray(Jh, np.float64) +
                 np.asarray(Jl, np.float64)).transpose(2, 1, 0)[:B]
+        f = (np.asarray(fh, np.float64) +
+             np.asarray(fl, np.float64)).T[:B]
+        return Jmat, f
+
+
+# ---------------------------------------------------------------------------
+# large-mechanism kernel (n-heptane class): 2-D grid, externally-gathered
+# slot concentrations, scratch-persisted per-tile parts
+# ---------------------------------------------------------------------------
+
+def _parts_spec(meta):
+    """(name, kind) list of the _compute_dd parts that must persist
+    across column blocks; kind selects the scratch shape."""
+    spec = [('vals_f%d' % s, 'R') for s in range(meta['Sf'])]
+    spec += [('vals_p%d' % s, 'R') for s in range(meta['Sp'])]
+    spec += [('psi_q', 'R'), ('xi_q', 'R')]
+    spec += [('v_u', 'N'), ('v_1', 'N'), ('eW', 'N'), ('cp', 'N'),
+             ('col0', 'N')]
+    spec += [('fkJ', 'J')]
+    spec += [('rho_inv', '1'), ('idenomT', '1'), ('ish', '1'),
+             ('mw_avg', '1'), ('fT', '1')]
+    return spec
+
+
+def _parts_to_refs(meta, parts, refs):
+    i = 0
+    for name, _ in _parts_spec(meta):
+        if name.startswith('vals_f'):
+            val = parts['vals_f'][int(name[6:])]
+        elif name.startswith('vals_p'):
+            val = parts['vals_p'][int(name[6:])]
+        else:
+            val = parts[name]
+        refs[i][...] = val.hi
+        refs[i + 1][...] = val.lo
+        i += 2
+
+
+def _parts_from_refs(meta, C, refs):
+    out = {'vals_f': [None] * meta['Sf'], 'vals_p': [None] * meta['Sp']}
+    i = 0
+    for name, _ in _parts_spec(meta):
+        val = DDA(refs[i][...], refs[i + 1][...])
+        if name.startswith('vals_f'):
+            out['vals_f'][int(name[6:])] = val
+        elif name.startswith('vals_p'):
+            out['vals_p'][int(name[6:])] = val
+        else:
+            out[name] = val
+        i += 2
+    out['mwJ'] = DDA(C['mw_col_hi'][0:meta['J']],
+                     C['mw_col_lo'][0:meta['J']])
+    return out
+
+
+def _kernel_dd_big(meta, names, *refs):
+    nc = len(names)
+    cref = {nm: refs[i] for i, nm in enumerate(names)}
+    n_in = meta['n_ext_inputs']
+    ins = refs[nc:nc + n_in]
+    Jh_ref, Jl_ref, fh_ref, fl_ref = refs[nc + n_in:nc + n_in + 4]
+    scr = refs[nc + n_in + 4:]
+    smem = ('u_vec_hi', 'u_vec_lo', 'winv_hi', 'winv_lo')
+    C = {nm: cref[nm][...] for nm in names if nm not in smem}
+
+    J = meta['J']
+    jb = meta['jb']
+    k = pl.program_id(1)
+
+    # external (XLA-precomputed) inputs, in _ext_input_names order
+    for nm, ref in zip(meta['ext_names'], ins[4:]):
+        C[nm] = ref[...]
+    yh_ref, yl_ref, ph_ref, pl_ref = ins[:4]
+
+    @pl.when(k == 0)
+    def _compute_parts():
+        parts = _compute_dd(meta, C, DDA(yh_ref[...], yl_ref[...]),
+                            DDA(ph_ref[...], pl_ref[...]))
+        fh_ref[...] = parts['f_out'].hi
+        fl_ref[...] = parts['f_out'].lo
+        _parts_to_refs(meta, parts, scr)
+
+    parts = _parts_from_refs(meta, C, scr)
+
+    def spec_for(j):
+        colf = j.astype(jnp.float32) if not isinstance(j, int) \
+            else np.float32(j)
+        w_j = DDA(cref['winv_hi'][0, j], cref['winv_lo'][0, j])
+        u_j = DDA(cref['u_vec_hi'][0, j], cref['u_vec_lo'][0, j])
+        cph = scr[_CP_OFF(meta)][pl.ds(j, 1), :]
+        cpl = scr[_CP_OFF(meta) + 1][pl.ds(j, 1), :]
+        return (colf, w_j, u_j, DDA(cph, cpl))
+
+    specs = []
+    for i in range(jb):
+        c = k * jb + i                      # global output column
+        j = jnp.clip(c - 1, 0, J - 1)       # reduced column (clamped)
+        specs.append(spec_for(j))
+    cols = _column_block_dd(meta, C, parts, specs)
+    for i, c_val in enumerate(cols):
+        Jh_ref[i:i + 1] = c_val.hi[None]
+        Jl_ref[i:i + 1] = c_val.lo[None]
+
+    @pl.when(k == 0)
+    def _write_col0():
+        off = _COL0_OFF(meta)
+        Jh_ref[0:1] = scr[off][...][None]
+        Jl_ref[0:1] = scr[off + 1][...][None]
+
+
+def _scr_index(meta, name):
+    for idx, (nm, _) in enumerate(_parts_spec(meta)):
+        if nm == name:
+            return 2 * idx
+    raise KeyError(name)
+
+
+def _CP_OFF(meta):
+    return _scr_index(meta, 'cp')
+
+
+def _COL0_OFF(meta):
+    return _scr_index(meta, 'col0')
+
+
+class PallasDDJacobianBig:
+    """f64-grade fused Jacobian + dy/dt for large mechanisms
+    (n-heptane class, 654 species / 2716 reactions).
+
+    The standard dd kernel stages one-hot gather matrices scaling as
+    R*N in VMEM — the analog of the reference's subfile-unroll ceiling
+    (reference: create_jacobian.py:2213-2221, CParams.py:19-22).  This
+    variant removes every R*N constant from the kernel:
+
+    * slot concentrations, the third-body contraction and the
+      pressure-dependent-species gather are precomputed in XLA (dd) and
+      streamed in as (R, B) inputs;
+    * the species-column loop becomes a second grid dimension: each
+      grid step emits a block of ``jb`` Jacobian columns, with the
+      per-tile reaction quantities computed once (first column block)
+      and persisted in VMEM scratch;
+    * per-column selections are index comparisons (no (R, J) one-hots).
+
+    Remaining VMEM scaling: nu slices (2 * N * R f32) + (R, B) tiles.
+    """
+
+    def __init__(self, packed, block_b: int = 128, jb: int = 16,
+                 interpret: bool = False, conp: bool = True,
+                 n_dyn: int = 8):
+        # lane blocks must be multiples of 128 (Mosaic block rule)
+        self.packed = packed
+        self.block_b = block_b
+        self.jb = jb
+        self.interpret = interpret
+        self.consts, self.meta = _consts_dd(packed, conp=conp,
+                                            n_dyn=n_dyn, ext_gather=True)
+        meta = self.meta
+        meta['jb'] = jb
+        N, R, J = meta['N'], meta['R'], meta['J']
+        Sf, Sp = meta['Sf'], meta['Sp']
+        self.names = list(self.consts.keys())
+        smem = ('u_vec_hi', 'u_vec_lo', 'winv_hi', 'winv_lo')
+
+        # external input channel names, (R, B) dd pairs each
+        ext = []
+        for s in range(Sf):
+            ext += ['cg_f%d_hi' % s, 'cg_f%d_lo' % s]
+        for s in range(Sp):
+            ext += ['cg_p%d_hi' % s, 'cg_p%d_lo' % s]
+        if meta['has_pres_mod']:
+            ext += ['effc_hi', 'effc_lo']
+            if meta['has_spec_pdep']:
+                ext += ['cpd_hi', 'cpd_lo']
+        meta['ext_names'] = tuple(ext)
+        meta['n_ext_inputs'] = 4 + len(ext)
+
+        n_jb = -(-N // jb)                   # output columns padded
+        self.n_cols_pad = n_jb * jb
+        kern = functools.partial(_kernel_dd_big, meta, self.names)
+
+        # XLA-side dd precompute of the gathered quantities
+        inv_mw_col = ddx.const(np.asarray(packed.inv_mw)[:, None])
+        invw_sliced = ddx.slice_static(packed.inv_mw[None, :], w=8)
+        eff_sliced = (ddx.slice_static(packed.eff_m1, w=8)
+                      if meta['has_pres_mod'] else None)
+        reac_sp = np.asarray(packed.reac_sp)
+        prod_sp = np.asarray(packed.prod_sp)
+        pd_idx = np.maximum(np.asarray(packed.pdep_sp_idx), 0)
+
+        def precompute(ydd: DDA, pdd: DDA):
+            T = ydd.slice0(0, 1)
+            Yr = ydd.slice0(1, N)
+            y_N = 1.0 - ddx.sum0(Yr)
+            Y_full = ddx.concat0([Yr, y_N])
+            inv_wbar = ddx.matmul_sliced(invw_sliced, Y_full)
+            mw_avg = ddx.recip(inv_wbar)
+            if conp:
+                rho = pdd * mw_avg * ddx.recip(_RU * T)
+            else:
+                rho = pdd
+            conc = rho * Y_full * DDA(jnp.asarray(inv_mw_col.hi),
+                                      jnp.asarray(inv_mw_col.lo))
+            out = []
+
+            def take(idx):
+                return DDA(jnp.take(conc.hi, idx, axis=0),
+                           jnp.take(conc.lo, idx, axis=0))
+
+            for s in range(Sf):
+                cg = take(reac_sp[:, s])
+                out += [cg.hi, cg.lo]
+            for s in range(Sp):
+                cg = take(prod_sp[:, s])
+                out += [cg.hi, cg.lo]
+            if meta['has_pres_mod']:
+                effc = ddx.matmul_sliced(eff_sliced, conc)
+                out += [effc.hi, effc.lo]
+                if meta['has_spec_pdep']:
+                    cpd = take(pd_idx)
+                    out += [cpd.hi, cpd.lo]
+            return out
+
+        def call_tr(yh, yl, ph, plo):
+            B = yh.shape[-1]
+            grid = (B // block_b, n_jb)
+            with df.barrier_mode('xla'):
+                ext_vals = precompute(DDA(yh, yl), DDA(ph, plo))
+
+            const_specs = [
+                pl.BlockSpec(self.consts[nm].shape,
+                             (lambda nd: (lambda i, kk: (i * 0,) * nd))(
+                                 self.consts[nm].ndim),
+                             memory_space=(pltpu.SMEM if nm in smem
+                                           else pltpu.VMEM))
+                for nm in self.names]
+            bspec = lambda rows: pl.BlockSpec(
+                (rows, block_b), lambda i, kk: (i * 0, i),
+                memory_space=pltpu.VMEM)
+            in_specs = const_specs + [bspec(N), bspec(N), bspec(1),
+                                      bspec(1)]
+            in_specs += [bspec(R) for _ in meta['ext_names']]
+            out_specs = [
+                pl.BlockSpec((jb, N, block_b),
+                             lambda i, kk: (kk, i * 0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((jb, N, block_b),
+                             lambda i, kk: (kk, i * 0, i),
+                             memory_space=pltpu.VMEM),
+                bspec(N), bspec(N),
+            ]
+            out_shape = [
+                jax.ShapeDtypeStruct((self.n_cols_pad, N, B), jnp.float32),
+                jax.ShapeDtypeStruct((self.n_cols_pad, N, B), jnp.float32),
+                jax.ShapeDtypeStruct((N, B), jnp.float32),
+                jax.ShapeDtypeStruct((N, B), jnp.float32),
+            ]
+            shp = {'R': (R, block_b), 'N': (N, block_b),
+                   'J': (J, block_b), '1': (1, block_b)}
+            scratch = []
+            for _, kind in _parts_spec(meta):
+                scratch += [pltpu.VMEM(shp[kind], jnp.float32)] * 2
+            args = [jnp.asarray(self.consts[nm]) for nm in self.names]
+            mode = 'xla' if self.interpret else 'none'
+            with df.barrier_mode(mode):
+                return pl.pallas_call(
+                    kern, grid=grid, in_specs=in_specs,
+                    out_specs=out_specs, out_shape=out_shape,
+                    scratch_shapes=scratch,
+                    interpret=self.interpret,
+                    compiler_params=pltpu.CompilerParams(
+                        vmem_limit_bytes=110 * 1024 * 1024,
+                        dimension_semantics=('arbitrary', 'arbitrary')),
+                )(*args, yh, yl, ph, plo, *ext_vals)
+
+        self.call_tr = jax.jit(call_tr)
+
+    def __call__(self, y, P):
+        N = self.meta['N']
+        y64 = np.asarray(y, np.float64)
+        P64 = np.broadcast_to(np.asarray(P, np.float64), y64.shape[:1])
+        B = y64.shape[0]
+        pad = (-B) % self.block_b
+        if pad:
+            y64 = np.concatenate([y64, np.repeat(y64[-1:], pad, 0)], 0)
+            P64 = np.concatenate([P64, np.repeat(P64[-1:], pad, 0)], 0)
+        yh = y64.T.astype(np.float32)
+        yl = (y64.T - yh.astype(np.float64)).astype(np.float32)
+        ph = P64[None].astype(np.float32)
+        plo = (P64[None] - ph.astype(np.float64)).astype(np.float32)
+        Jh, Jl, fh, fl = self.call_tr(jnp.asarray(yh), jnp.asarray(yl),
+                                      jnp.asarray(ph), jnp.asarray(plo))
+        Jmat = (np.asarray(Jh, np.float64) +
+                np.asarray(Jl, np.float64))[:N].transpose(2, 1, 0)[:B]
         f = (np.asarray(fh, np.float64) +
              np.asarray(fl, np.float64)).T[:B]
         return Jmat, f
