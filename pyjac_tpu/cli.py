@@ -162,21 +162,13 @@ def main(argv=None) -> int:
                                      jnp.asarray(P), jnp.asarray(y[:, 1:]))
             param = rho
         J = eval_jacobian(packed, 0.0, param, jnp.asarray(y), conp=conp)
-        # the AD oracle runs on the host CPU: TPU float64 is emulated
-        # as float32 pairs whose exponent range tops out near 1e38, and
-        # jacfwd's intermediate exponentials overflow it (the
-        # closed-form path works in log space and does not)
-        try:
-            oracle_dev = jax.devices('cpu')[0]
-        except RuntimeError:
-            oracle_dev = None
-        if oracle_dev is not None:
-            with jax.default_device(oracle_dev):
-                J_ref = jacobian_fwd(packed, 0.0, jnp.asarray(np.asarray(param)),
-                                     jnp.asarray(y), conp=conp)
-        else:
-            J_ref = jacobian_fwd(packed, 0.0, param, jnp.asarray(y),
-                                 conp=conp)
+        # on accelerators the AD oracle differentiates the log-space
+        # dydt: TPU float64 is emulated as float32 pairs whose exponent
+        # range tops out near 1e38, and jacfwd's linear-space
+        # exponential tangents overflow it
+        on_cpu = jax.default_backend() == 'cpu'
+        J_ref = jacobian_fwd(packed, 0.0, param, jnp.asarray(y),
+                             conp=conp, log_space=not on_cpu)
         Jn, Jr = np.asarray(J), np.asarray(J_ref)
         scale = float(np.abs(Jr).max()) + 1e-300
         err = float(np.abs(Jn - Jr).max()) / scale

@@ -247,7 +247,8 @@ class StaticSliced:
     slices: tuple          # of np.float32 (M, K)
     row_scale: np.ndarray  # (M, 1) float32, powers of two
     w: int
-    max_int: tuple         # of int
+    max_int: tuple         # of int, per slice: max |integer|
+    max_l1: tuple          # of int, per slice: max row L1 of integers
     trunc_rel: float       # dropped-residual bound relative to row max
 
     @property
@@ -265,19 +266,23 @@ def slice_static(A, w: int = 8, n_slices: int = 7) -> StaticSliced:
     scale = 2.0 ** (np.floor(np.log2(safe)) + 1.0)
     scale = np.where(m == 0.0, 1.0, scale)
     z = A / scale
-    slices, max_int = [], []
+    slices, max_int, max_l1 = [], [], []
     for p in range(n_slices):
         q = 2.0 ** (-w * (p + 1))
         s = np.round(z / q) * q
         slices.append(s.astype(np.float32))
-        max_int.append(int(np.max(np.abs(s)) / q) if s.any() else 0)
+        ints = np.abs(s) / q
+        max_int.append(int(ints.max()) if s.any() else 0)
+        max_l1.append(int(np.ceil(ints.sum(axis=1).max()))
+                      if s.any() else 0)
         z = z - s
     while len(slices) > 1 and not slices[-1].any():
         slices.pop()
         max_int.pop()
+        max_l1.pop()
     trunc = float(np.max(np.abs(z))) if z.size else 0.0
     return StaticSliced(tuple(slices), scale.astype(np.float32), w,
-                        tuple(max_int), trunc)
+                        tuple(max_int), tuple(max_l1), trunc)
 
 
 def _pow2_ceil(m):
@@ -324,23 +329,25 @@ def slice_dyn(x: DDA, w: int, n_slices: int):
     return out, scale
 
 
-def matmul_sliced_parts(slices, row_scale, w_static: int, max_int: int,
+def matmul_sliced_parts(slices, row_scale, w_static: int, max_l1: int,
                         x: DDA, w_dyn: int = 7, n_dyn: int = 7,
                         bits: int = 44) -> DDA:
     """Exact-pass sliced matmul ``A @ x`` -> DDA, from raw slice parts
     (jnp or numpy arrays — usable with Pallas refs).
 
-    Every bf16 MXU pass accumulates integers exactly (asserted against
-    the contraction length); pass results are combined smallest-first
-    in double-float.  ``bits`` truncates slice pairs whose product
-    magnitude is below 2**-bits of (row max * column max).
+    Every bf16 MXU pass accumulates integers exactly; the guard bounds
+    every partial sum by (max static-row L1 of integers) * 2^w_dyn,
+    which stays far below K * max_int for sparse rows (stoichiometry
+    has ~5 nonzeros per row at any mechanism size).  Pass results are
+    combined smallest-first in double-float.  ``bits`` truncates slice
+    pairs whose product magnitude is below 2**-bits of
+    (row max * column max).
     """
-    K = x.hi.shape[0]
-    worst = max_int * (2 ** w_dyn) * K
+    worst = max_l1 * (2 ** w_dyn)
     if worst >= (1 << 24):
         raise ValueError(
-            'inexact accumulation: max_int=%d * 2^%d * K=%d >= 2^24 — '
-            'reduce slice widths' % (max_int, w_dyn, K))
+            'inexact accumulation: row_L1=%d * 2^%d >= 2^24 — '
+            'reduce slice widths' % (max_l1, w_dyn))
     dyn, col_scale = slice_dyn(x, w_dyn, n_dyn)
     terms = []
     for p, ls in enumerate(slices):
@@ -363,7 +370,7 @@ def matmul_sliced_parts(slices, row_scale, w_static: int, max_int: int,
 def matmul_sliced(S: StaticSliced, x: DDA, w_dyn: int = 7,
                   n_dyn: int = 7, bits: int = 44) -> DDA:
     return matmul_sliced_parts(S.slices, S.row_scale, S.w,
-                               max(S.max_int), x, w_dyn, n_dyn, bits)
+                               max(S.max_l1), x, w_dyn, n_dyn, bits)
 
 
 def dot_split3_lhs(a_f32, b_exact):

@@ -77,3 +77,38 @@ def dydt(packed, t, param, y, conp: bool = True):
     if conp:
         return dydt_conp(packed, t, param, y)
     return dydt_conv(packed, t, param, y)
+
+
+def dydt_log(packed, t, param, y, conp: bool = True):
+    """dy/dt with every rate evaluated in log space.
+
+    Identical math to :func:`dydt` up to O(1e-25) concentration
+    flooring, but no intermediate exceeds the f32 exponent range — the
+    form suitable for forward-mode AD on TPU, where float64 is an f32
+    pair with f32 range and the linear-space kf/Kc tangents overflow
+    (round-1 workaround: hosting the oracle on CPU)."""
+    from .rates import eval_rxn_rates_log, get_rxn_pres_mod_log
+    T, Y = split_state(y)
+    if conp:
+        y_N, mw_avg, rho, conc = eval_conc(packed, T, param, Y)
+        pres = jnp.broadcast_to(jnp.asarray(param, dtype=y.dtype), T.shape)
+    else:
+        y_N, mw_avg, pres, conc = eval_conc_rho(packed, T, param, Y)
+        rho = jnp.broadcast_to(jnp.asarray(param, dtype=y.dtype), T.shape)
+    fwd, rev = eval_rxn_rates_log(packed, T, pres, conc)
+    pm = get_rxn_pres_mod_log(packed, T, pres, conc)
+    wdot = eval_spec_rates(packed, fwd, rev, pm)
+
+    y_full = jnp.concatenate([Y, y_N[..., None]], axis=-1)
+    mw = f(packed.mw)
+    if conp:
+        cp = eval_cp(packed, T)
+        sh = jnp.sum(cp * y_full, axis=-1)
+        e = eval_h(packed, T)
+    else:
+        cv = eval_cv(packed, T)
+        sh = jnp.sum(cv * y_full, axis=-1)
+        e = eval_u(packed, T)
+    dT = -jnp.sum(e * mw * wdot, axis=-1) / (rho * sh)
+    dY = wdot[..., :-1] * mw[:-1] / rho[..., None]
+    return jnp.concatenate([dT[..., None], dY], axis=-1)

@@ -565,13 +565,25 @@ def jacobian_and_dydt(packed, t, param, y, conp: bool = True):
 # forward-mode AD oracle (the Adept-autodiff analog)
 # ---------------------------------------------------------------------------
 
-def jacobian_fwd(packed, t, param, y, conp: bool = True):
+def jacobian_fwd(packed, t, param, y, conp: bool = True,
+                 log_space: bool = False):
     """Jacobian via jax.jacfwd of dydt — exact, used as the correctness
     oracle for :func:`eval_jacobian` (the reference validates its
     emitted Jacobian against Adept autodiff the same way,
-    functional_tester/test.py:173-217)."""
-    def single(yy, pp):
-        return dydt_dispatch(packed, t, pp, yy, conp=conp)
+    functional_tester/test.py:173-217).
+
+    ``log_space`` differentiates :func:`~pyjac_tpu.ops.dydt.dydt_log`
+    instead: identical math up to O(1e-25) flooring, but finite on
+    devices whose float64 has f32 exponent range (TPU) where the
+    linear-space kf/Kc tangents overflow."""
+    if log_space:
+        from .dydt import dydt_log
+
+        def single(yy, pp):
+            return dydt_log(packed, t, pp, yy, conp=conp)
+    else:
+        def single(yy, pp):
+            return dydt_dispatch(packed, t, pp, yy, conp=conp)
 
     jac = jax.jacfwd(single)
     if y.ndim == 1:

@@ -96,7 +96,7 @@ def _sliced_entries(name, S: ddx.StaticSliced, consts, meta):
     consts['%s_rs' % name] = S.row_scale
     meta['%s_ns' % name] = S.n_slices
     meta['%s_w' % name] = S.w
-    meta['%s_mi' % name] = max(S.max_int)
+    meta['%s_mi' % name] = max(S.max_l1)
 
 
 def _dd_entries(name, dd: DDA, consts):
@@ -1264,8 +1264,11 @@ def _kernel_dd_big(meta, names, *refs):
 
     specs = []
     for i in range(jb):
-        c = k * jb + i                      # global output column
-        j = jnp.clip(c - 1, 0, J - 1)       # reduced column (clamped)
+        # int32 throughout: under jax_enable_x64 the python-int clip
+        # bounds promote to int64, which Mosaic's conversion helper
+        # cannot lower (it recurses to the stack limit)
+        c = k * jnp.int32(jb) + jnp.int32(i)    # global output column
+        j = jnp.clip(c - jnp.int32(1), jnp.int32(0), jnp.int32(J - 1))
         specs.append(spec_for(j))
     cols = _column_block_dd(meta, C, parts, specs)
     for i, c_val in enumerate(cols):

@@ -308,3 +308,114 @@ def compact_pres_mod(packed, pres_mod):
     """Gather pres_mod into the reference's compacted layout
     (only third-body/falloff reactions)."""
     return pres_mod[..., i(packed.pres_mod_map)]
+
+
+# --------------------------------------------------------------------------
+# log-space evaluation (f32-exponent-range safe)
+# --------------------------------------------------------------------------
+
+# concentration floor for log-space products: keeps ln C finite at
+# zero concentrations while leaving rates (error O(floor)) and their
+# AD derivatives asymptotically correct — d exp(nu ln C)/dC at the
+# floor equals nu C^(nu-1) * (others), the true sensitivity
+_LOG_FLOOR = 1e-25
+
+
+def log_kf(packed, T, pres):
+    """(ln|kf|, sign) without exponentiating: under TPU float64 (f32
+    exponent range) the linear-space kf/Kc intermediates overflow for
+    stiff mechanisms — the reason round 1 hosted the AD oracle on CPU
+    (commits ac3c024/dce7c30). Reference math: rate_subs.py:27-146."""
+    logT = jnp.log(T)
+    lnkf = (f(packed.logA) + f(packed.beta) * logT[..., None] -
+            f(packed.Ta) / T[..., None])
+    if packed.has_plog:
+        lnkf = lnkf.at[..., i(packed.plog_idx)].set(
+            _plog_logkf(packed, T, logT, pres))
+    if packed.has_cheb:
+        lnkf = lnkf.at[..., i(packed.cheb_idx)].set(
+            LOG10 * _cheb_log10kf(packed, T, pres))
+    sign = f(packed.A_sign) if packed.has_negative_A else None
+    return lnkf, sign
+
+
+def _log_conc_dot(packed, lnc, sp_idx, nu):
+    """sum_s nu_s ln C[sp_s] over stoichiometric slots, (..., R)."""
+    return jnp.sum(f(nu) * lnc[..., sp_idx], axis=-1)
+
+
+def eval_rxn_rates_log(packed, T, pres, conc):
+    """Forward/reverse rates of progress via single exponentiation of
+    ln kf + sum nu ln C (- ln Kc): every intermediate stays within the
+    f32 exponent range (reference math: rate_subs.py:660-809 for Kc)."""
+    lnc = jnp.log(jnp.maximum(conc, _LOG_FLOOR))
+    lnkf, sign = log_kf(packed, T, pres)
+    fwd = jnp.exp(lnkf + _log_conc_dot(packed, lnc, i(packed.reac_sp),
+                                       packed.reac_nu))
+    if sign is not None:
+        fwd = fwd * sign
+    if packed.has_rev:
+        logT = jnp.log(T)
+        smh = eval_smh(packed, T)
+        ln_kc = (jnp.einsum('...n,rn->...r', smh, f(packed.nu_net)) +
+                 f(packed.sum_nu) * (_LN_PA_RU - logT)[..., None])
+        rev = jnp.exp(lnkf - ln_kc +
+                      _log_conc_dot(packed, lnc, i(packed.prod_sp),
+                                    packed.prod_nu))
+        if sign is not None:
+            rev = rev * sign
+        rev = jnp.where(jnp.asarray(packed.rev_mask), rev, 0.0)
+    else:
+        rev = jnp.zeros_like(fwd)
+    return fwd, rev
+
+
+def get_rxn_pres_mod_log(packed, T, pres, conc):
+    """Pressure modification with the falloff ratio in log space:
+    Pr = exp(ln k0 - ln kinf + ln X) and the Lindemann blend as a
+    sigmoid of ln Pr (stable at any Pr magnitude)."""
+    R = packed.n_reactions
+    ones = jnp.ones(conc.shape[:-1] + (R,), dtype=conc.dtype)
+    if not packed.has_pres_mod:
+        return ones
+
+    logT = jnp.log(T)
+    thd = third_body_concentrations(packed, T, pres, conc)
+    pm = ones
+    if packed.has_thd_only:
+        pm = jnp.where(jnp.asarray(packed.thd_only_mask), thd, pm)
+
+    if packed.has_falloff or packed.has_chemact:
+        fall = jnp.asarray(packed.falloff_mask)
+        chem = jnp.asarray(packed.chemact_mask)
+        pdep = fall | chem
+        ln_main = (f(packed.logA) + f(packed.beta) * logT[..., None] -
+                   f(packed.Ta) / T[..., None])
+        ln_k0 = jnp.where(
+            fall, f(packed.low_logA) + f(packed.low_beta) *
+            logT[..., None] - f(packed.low_Ta) / T[..., None], ln_main)
+        ln_kinf = jnp.where(
+            chem, f(packed.high_logA) + f(packed.high_beta) *
+            logT[..., None] - f(packed.high_Ta) / T[..., None], ln_main)
+        if packed.has_specific_pdep_sp:
+            sp_idx = i(jnp.maximum(packed.pdep_sp_idx, 0))
+            c_sp = conc[..., sp_idx]
+            X = jnp.where(jnp.asarray(packed.pdep_sp_idx) >= 0, c_sp, thd)
+        else:
+            X = thd
+        ln_pr = ln_k0 - ln_kinf + jnp.log(jnp.maximum(X, _LOG_FLOOR))
+        # F factors are functions of log10 Pr: a clipped linear-space
+        # Pr is exact inside |ln Pr| < 60 and F -> its asymptote beyond
+        Pr_c = jnp.exp(jnp.clip(ln_pr, -60.0, 60.0))
+        F = jnp.ones_like(Pr_c)
+        if packed.has_troe:
+            F = jnp.where(jnp.asarray(packed.troe_mask),
+                          _troe_F(packed, T, Pr_c), F)
+        if packed.has_sri:
+            F = jnp.where(jnp.asarray(packed.sri_mask),
+                          _sri_F(packed, T, Pr_c), F)
+        import jax
+        blend = jnp.where(fall, jax.nn.sigmoid(ln_pr),
+                          jax.nn.sigmoid(-ln_pr))
+        pm = jnp.where(pdep, F * blend, pm)
+    return pm

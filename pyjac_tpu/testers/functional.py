@@ -176,21 +176,14 @@ def run_functional_test(mech: Mechanism, packed: Optional[PackedMechanism],
     param = Pj if conp else rho
     f = dydt_fn(packed, 0.0, param, yj, conp=conp)
     J = eval_jacobian(packed, 0.0, param, yj, conp=conp)
-    # the AD oracle runs on the host CPU when available: TPU float64
-    # is float32 pairs with a ~1e38 exponent ceiling, and forward-mode
-    # AD through the rate expressions overflows it (the closed-form
-    # path above works in log space and does not)
-    try:
-        _cpu = jax.devices('cpu')[0]
-    except RuntimeError:
-        _cpu = None
-    if _cpu is not None and yj.devices() != {_cpu}:
-        with jax.default_device(_cpu):
-            J_ad = jacobian_fwd(packed, 0.0,
-                                jnp.asarray(np.asarray(param)),
-                                jnp.asarray(y), conp=conp)
-    else:
-        J_ad = jacobian_fwd(packed, 0.0, param, yj, conp=conp)
+    # TPU float64 is float32 pairs with a ~1e38 exponent ceiling:
+    # forward-mode AD through the *linear-space* rate expressions
+    # overflows it, so on accelerators the oracle differentiates the
+    # log-space dydt (identical math, range-safe) — replacing the
+    # round-1 workaround of hosting the oracle on the CPU
+    on_cpu = jax.default_backend() == 'cpu'
+    J_ad = jacobian_fwd(packed, 0.0, param, yj, conp=conp,
+                        log_space=not on_cpu)
     J_fd = fd_jacobian(packed, 0.0, np.asarray(param), y, conp=conp,
                        order=fd_order)
 

@@ -139,3 +139,34 @@ def test_dd_xla_conv(tmp_path):
     assert _floored(np.asarray(Jdd), np.asarray(Jref)) < 1e-8
     scale = np.abs(np.asarray(fref)).max()
     assert np.abs(np.asarray(fdd) - np.asarray(fref)).max() / scale < 1e-10
+
+
+def test_big_kernel_traces_any_size(tmp_path):
+    """PallasDDJacobianBig (n-heptane-class kernel) builds and traces
+    without R*N one-hot constants; numerics are validated on-chip
+    against the regular dd kernel (6.6e-15) and the f64 XLA Jacobian
+    (docs/performance.md) — interpret mode is impractically slow on CPU.
+    """
+    import jax
+
+    from pyjac_tpu.ops.pallas_dd import PallasDDJacobianBig
+    from pyjac_tpu.testers.synthetic import synthetic_mechanism
+    path = tmp_path / 'm.inp'
+    path.write_text(synthetic_mechanism(n_species=21, n_reactions=60,
+                                        seed=11, gri_mix=True))
+    mech = Mechanism.from_files(str(path))
+    packed = pack(mech)
+    big = PallasDDJacobianBig(packed, block_b=128, jb=8)
+    # the only (R, N)-scaling constants are the nu contraction slices
+    # themselves (2 * N * R f32 by design) — no per-slot one-hots
+    R, N = packed.n_reactions, packed.n_species
+    for nm, v in big.consts.items():
+        if nm.startswith(('nuT_s', 'nuR_s')):
+            continue
+        assert v.size < R * N / 2, (nm, v.shape)
+    B = 128
+    sh = jax.ShapeDtypeStruct((N, B), jnp.float32)
+    sp = jax.ShapeDtypeStruct((1, B), jnp.float32)
+    out = jax.eval_shape(big.call_tr, sh, sh, sp, sp)
+    assert out[0].shape == (big.n_cols_pad, N, B)
+    assert out[2].shape == (N, B)
