@@ -198,13 +198,13 @@ def pack(mech: Mechanism) -> PackedMechanism:
     T_mid = np.array([sp.Trange[1] for sp in specs], dtype=_F)
 
     A = np.array([rxn.A for rxn in reacs], dtype=_F)
-    if np.any(A == 0.0) and not all(r.cheb for r in reacs if r.A == 0.0):
-        bad = [i for i, r in enumerate(reacs) if r.A == 0.0 and not r.cheb]
-        raise NotImplementedError(
-            'zero pre-exponential factor in reactions %s' % bad)
+    # A == 0 (a permanently dead reaction unless PLOG/Chebyshev rows
+    # overwrite it) packs as logA = 0 with A_sign = 0: kf multiplies by
+    # the sign, making the rate exactly zero with finite derivatives —
+    # the reference emits the zero textually (rate_subs.py:27-146)
     logA = np.where(A != 0.0, np.log(np.abs(np.where(A == 0.0, 1.0, A))),
                     0.0)
-    A_sign = np.where(A < 0.0, -1.0, 1.0)
+    A_sign = np.where(A == 0.0, 0.0, np.where(A < 0.0, -1.0, 1.0))
     beta = np.array([rxn.b for rxn in reacs], dtype=_F)
     Ta = np.array([rxn.E for rxn in reacs], dtype=_F)
 
@@ -378,6 +378,6 @@ def pack(mech: Mechanism) -> PackedMechanism:
         has_lindemann=bool(lind.any()),
         has_plog=Rp > 0,
         has_cheb=Rc > 0,
-        has_negative_A=bool((A_sign < 0).any()),
+        has_negative_A=bool((A_sign != 1.0).any()),
         has_specific_pdep_sp=bool((pdep_sp_idx >= 0).any()),
     )

@@ -1175,126 +1175,83 @@ class PallasDDJacobian:
 
 
 # ---------------------------------------------------------------------------
-# large-mechanism kernel (n-heptane class): 2-D grid, externally-gathered
-# slot concentrations, scratch-persisted per-tile parts
+# large-mechanism kernel (n-heptane class)
 # ---------------------------------------------------------------------------
 
-def _parts_spec(meta):
-    """(name, kind) list of the _compute_dd parts that must persist
-    across column blocks; kind selects the scratch shape."""
+# per-tile parts streamed from the XLA stage into the column kernel,
+# (name, kind) with kind selecting the block shape
+def _parts_stream_spec(meta):
     spec = [('vals_f%d' % s, 'R') for s in range(meta['Sf'])]
     spec += [('vals_p%d' % s, 'R') for s in range(meta['Sp'])]
-    spec += [('psi_q', 'R'), ('xi_q', 'R')]
-    spec += [('v_u', 'N'), ('v_1', 'N'), ('eW', 'N'), ('cp', 'N'),
-             ('col0', 'N')]
+    if meta['has_pres_mod']:
+        spec += [('psi_q', 'R')]
+        if meta['has_spec_pdep']:
+            spec += [('xi_q', 'R')]
+    spec += [('v_u', 'N'), ('v_1', 'N'), ('eW', 'N'), ('cp', 'N')]
     spec += [('fkJ', 'J')]
     spec += [('rho_inv', '1'), ('idenomT', '1'), ('ish', '1'),
              ('mw_avg', '1'), ('fT', '1')]
     return spec
 
 
-def _parts_to_refs(meta, parts, refs):
-    i = 0
-    for name, _ in _parts_spec(meta):
-        if name.startswith('vals_f'):
-            val = parts['vals_f'][int(name[6:])]
-        elif name.startswith('vals_p'):
-            val = parts['vals_p'][int(name[6:])]
-        else:
-            val = parts[name]
-        refs[i][...] = val.hi
-        refs[i + 1][...] = val.lo
-        i += 2
+def _kernel_dd_cols(meta, names, *refs):
+    """Column-only kernel: the per-tile reaction/thermo parts arrive as
+    inputs (computed by the straight-line XLA dd stage); each grid step
+    emits a block of ``jb`` reduced-species Jacobian columns.
 
-
-def _parts_from_refs(meta, C, refs):
-    out = {'vals_f': [None] * meta['Sf'], 'vals_p': [None] * meta['Sp']}
-    i = 0
-    for name, _ in _parts_spec(meta):
-        val = DDA(refs[i][...], refs[i + 1][...])
-        if name.startswith('vals_f'):
-            out['vals_f'][int(name[6:])] = val
-        elif name.startswith('vals_p'):
-            out['vals_p'][int(name[6:])] = val
-        else:
-            out[name] = val
-        i += 2
-    out['mwJ'] = DDA(C['mw_col_hi'][0:meta['J']],
-                     C['mw_col_lo'][0:meta['J']])
-    return out
-
-
-def _kernel_dd_big(meta, names, *refs):
+    Keeping the parts stage out of the kernel is what makes the
+    n-heptane class fit: computed in-kernel, its live set of (R, B)
+    double-float temporaries spilled ~300 MB past VMEM at R=2716."""
     nc = len(names)
     cref = {nm: refs[i] for i, nm in enumerate(names)}
-    n_in = meta['n_ext_inputs']
-    ins = refs[nc:nc + n_in]
-    Jh_ref, Jl_ref, fh_ref, fl_ref = refs[nc + n_in:nc + n_in + 4]
-    scr = refs[nc + n_in + 4:]
     smem = ('u_vec_hi', 'u_vec_lo', 'winv_hi', 'winv_lo')
     C = {nm: cref[nm][...] for nm in names if nm not in smem}
+
+    stream = _parts_stream_spec(meta)
+    n_stream = 2 * len(stream)
+    ins = refs[nc:nc + n_stream]
+    Jh_ref, Jl_ref = refs[nc + n_stream:nc + n_stream + 2]
+
+    parts = {'vals_f': [None] * meta['Sf'], 'vals_p': [None] * meta['Sp']}
+    for idx, (name, _) in enumerate(stream):
+        val = DDA(ins[2 * idx][...], ins[2 * idx + 1][...])
+        if name.startswith('vals_f'):
+            parts['vals_f'][int(name[6:])] = val
+        elif name.startswith('vals_p'):
+            parts['vals_p'][int(name[6:])] = val
+        else:
+            parts[name] = val
+    parts['mwJ'] = DDA(C['mw_col_hi'][0:meta['J']],
+                       C['mw_col_lo'][0:meta['J']])
+    cp_idx = [idx for idx, (nm, _) in enumerate(stream)
+              if nm == 'cp'][0]
+    cph_ref, cpl_ref = ins[2 * cp_idx], ins[2 * cp_idx + 1]
 
     J = meta['J']
     jb = meta['jb']
     k = pl.program_id(1)
-
-    # external (XLA-precomputed) inputs, in _ext_input_names order
-    for nm, ref in zip(meta['ext_names'], ins[4:]):
-        C[nm] = ref[...]
-    yh_ref, yl_ref, ph_ref, pl_ref = ins[:4]
-
-    @pl.when(k == 0)
-    def _compute_parts():
-        parts = _compute_dd(meta, C, DDA(yh_ref[...], yl_ref[...]),
-                            DDA(ph_ref[...], pl_ref[...]))
-        fh_ref[...] = parts['f_out'].hi
-        fl_ref[...] = parts['f_out'].lo
-        _parts_to_refs(meta, parts, scr)
-
-    parts = _parts_from_refs(meta, C, scr)
 
     def spec_for(j):
         colf = j.astype(jnp.float32) if not isinstance(j, int) \
             else np.float32(j)
         w_j = DDA(cref['winv_hi'][0, j], cref['winv_lo'][0, j])
         u_j = DDA(cref['u_vec_hi'][0, j], cref['u_vec_lo'][0, j])
-        cph = scr[_CP_OFF(meta)][pl.ds(j, 1), :]
-        cpl = scr[_CP_OFF(meta) + 1][pl.ds(j, 1), :]
-        return (colf, w_j, u_j, DDA(cph, cpl))
+        # dynamic sublane slice must go through the REF (Mosaic has no
+        # dynamic_slice lowering for loaded arrays)
+        cp_j = DDA(cph_ref[pl.ds(j, 1), :], cpl_ref[pl.ds(j, 1), :])
+        return (colf, w_j, u_j, cp_j)
 
     specs = []
     for i in range(jb):
-        # int32 throughout: under jax_enable_x64 the python-int clip
-        # bounds promote to int64, which Mosaic's conversion helper
-        # cannot lower (it recurses to the stack limit)
-        c = k * jnp.int32(jb) + jnp.int32(i)    # global output column
-        j = jnp.clip(c - jnp.int32(1), jnp.int32(0), jnp.int32(J - 1))
+        # int32 throughout: python-int promotion to int64 under x64
+        # sends Mosaic's conversion helper into unbounded recursion
+        c = k * jnp.int32(jb) + jnp.int32(i)
+        j = jnp.clip(c, jnp.int32(0), jnp.int32(J - 1))
         specs.append(spec_for(j))
     cols = _column_block_dd(meta, C, parts, specs)
     for i, c_val in enumerate(cols):
         Jh_ref[i:i + 1] = c_val.hi[None]
         Jl_ref[i:i + 1] = c_val.lo[None]
-
-    @pl.when(k == 0)
-    def _write_col0():
-        off = _COL0_OFF(meta)
-        Jh_ref[0:1] = scr[off][...][None]
-        Jl_ref[0:1] = scr[off + 1][...][None]
-
-
-def _scr_index(meta, name):
-    for idx, (nm, _) in enumerate(_parts_spec(meta)):
-        if nm == name:
-            return 2 * idx
-    raise KeyError(name)
-
-
-def _CP_OFF(meta):
-    return _scr_index(meta, 'cp')
-
-
-def _COL0_OFF(meta):
-    return _scr_index(meta, 'col0')
 
 
 class PallasDDJacobianBig:
@@ -1302,26 +1259,28 @@ class PallasDDJacobianBig:
     (n-heptane class, 654 species / 2716 reactions).
 
     The standard dd kernel stages one-hot gather matrices scaling as
-    R*N in VMEM — the analog of the reference's subfile-unroll ceiling
-    (reference: create_jacobian.py:2213-2221, CParams.py:19-22).  This
-    variant removes every R*N constant from the kernel:
+    R*N in VMEM and computes all per-tile reaction quantities inside
+    one kernel invocation — both break down at n-heptane scale (the
+    VMEM analog of the reference's subfile-unroll ceiling,
+    reference: create_jacobian.py:2213-2221, CParams.py:19-22).  This
+    variant splits the evaluation:
 
-    * slot concentrations, the third-body contraction and the
-      pressure-dependent-species gather are precomputed in XLA (dd) and
-      streamed in as (R, B) inputs;
-    * the species-column loop becomes a second grid dimension: each
-      grid step emits a block of ``jb`` Jacobian columns, with the
-      per-tile reaction quantities computed once (first column block)
-      and persisted in VMEM scratch;
-    * per-column selections are index comparisons (no (R, J) one-hots).
+    * a straight-line XLA double-float stage computes concentrations,
+      slot gathers, rate constants and every per-tile reaction part
+      (plus dy/dt and the temperature column of J) with HBM-resident
+      intermediates — no loops, so no XLA scan-context dd hazard;
+    * a column-only Pallas kernel with a 2-D grid (batch tiles x
+      column blocks) streams those parts in as (R, B) blocks and emits
+      ``jb`` Jacobian columns per step, with per-column selections as
+      index comparisons (no (R, J) or (R, N) one-hots anywhere).
 
-    Remaining VMEM scaling: nu slices (2 * N * R f32) + (R, B) tiles.
+    Remaining VMEM scaling: the nu contraction slices (N*R f32) and
+    the streamed (R, B) parts.
     """
 
     def __init__(self, packed, block_b: int = 128, jb: int = 16,
                  interpret: bool = False, conp: bool = True,
                  n_dyn: int = 8):
-        # lane blocks must be multiples of 128 (Mosaic block rule)
         self.packed = packed
         self.block_b = block_b
         self.jb = jb
@@ -1332,27 +1291,29 @@ class PallasDDJacobianBig:
         meta['jb'] = jb
         N, R, J = meta['N'], meta['R'], meta['J']
         Sf, Sp = meta['Sf'], meta['Sp']
-        self.names = list(self.consts.keys())
+        # the kernel only needs the column-loop constants; drop the
+        # parts-stage tables from its argument list
+        drop = [nm for nm in self.consts
+                if nm.startswith(('cp_', 'h_', 'smh_', 'dsmh_', 'dcp_',
+                                  'nuR_', 'invw_', 'logA', 'beta', 'Ta',
+                                  'sum_nu', 'T_mid', 'plog', 'cheb',
+                                  'low_', 'high_', 'troe', 'sri',
+                                  'rev_mask', 'A_sign', 'inv_mw_col',
+                                  'thd_mask', 'fall_mask', 'chem_mask',
+                                  'pdep_mask', 'spec_mask', 'nu_f',
+                                  'nu_p', 'ordf', 'ordr', 'last_f',
+                                  'last_p'))]
+        self.kconsts = {nm: v for nm, v in self.consts.items()
+                        if nm not in drop}
+        self.names = list(self.kconsts.keys())
         smem = ('u_vec_hi', 'u_vec_lo', 'winv_hi', 'winv_lo')
 
-        # external input channel names, (R, B) dd pairs each
-        ext = []
-        for s in range(Sf):
-            ext += ['cg_f%d_hi' % s, 'cg_f%d_lo' % s]
-        for s in range(Sp):
-            ext += ['cg_p%d_hi' % s, 'cg_p%d_lo' % s]
-        if meta['has_pres_mod']:
-            ext += ['effc_hi', 'effc_lo']
-            if meta['has_spec_pdep']:
-                ext += ['cpd_hi', 'cpd_lo']
-        meta['ext_names'] = tuple(ext)
-        meta['n_ext_inputs'] = 4 + len(ext)
-
-        n_jb = -(-N // jb)                   # output columns padded
+        n_jb = -(-J // jb)
         self.n_cols_pad = n_jb * jb
-        kern = functools.partial(_kernel_dd_big, meta, self.names)
+        kern = functools.partial(_kernel_dd_cols, meta, self.names)
+        stream = _parts_stream_spec(meta)
 
-        # XLA-side dd precompute of the gathered quantities
+        # XLA-side dd stage: gathers + full parts
         inv_mw_col = ddx.const(np.asarray(packed.inv_mw)[:, None])
         invw_sliced = ddx.slice_static(packed.inv_mw[None, :], w=8)
         eff_sliced = (ddx.slice_static(packed.eff_m1, w=8)
@@ -1360,8 +1321,9 @@ class PallasDDJacobianBig:
         reac_sp = np.asarray(packed.reac_sp)
         prod_sp = np.asarray(packed.prod_sp)
         pd_idx = np.maximum(np.asarray(packed.pdep_sp_idx), 0)
+        Call = {k_: jnp.asarray(v) for k_, v in self.consts.items()}
 
-        def precompute(ydd: DDA, pdd: DDA):
+        def xla_stage(ydd: DDA, pdd: DDA):
             T = ydd.slice0(0, 1)
             Yr = ydd.slice0(1, N)
             y_N = 1.0 - ddx.sum0(Yr)
@@ -1374,7 +1336,7 @@ class PallasDDJacobianBig:
                 rho = pdd
             conc = rho * Y_full * DDA(jnp.asarray(inv_mw_col.hi),
                                       jnp.asarray(inv_mw_col.lo))
-            out = []
+            C2 = dict(Call)
 
             def take(idx):
                 return DDA(jnp.take(conc.hi, idx, axis=0),
@@ -1382,37 +1344,49 @@ class PallasDDJacobianBig:
 
             for s in range(Sf):
                 cg = take(reac_sp[:, s])
-                out += [cg.hi, cg.lo]
+                C2['cg_f%d_hi' % s], C2['cg_f%d_lo' % s] = cg.hi, cg.lo
             for s in range(Sp):
                 cg = take(prod_sp[:, s])
-                out += [cg.hi, cg.lo]
+                C2['cg_p%d_hi' % s], C2['cg_p%d_lo' % s] = cg.hi, cg.lo
             if meta['has_pres_mod']:
                 effc = ddx.matmul_sliced(eff_sliced, conc)
-                out += [effc.hi, effc.lo]
+                C2['effc_hi'], C2['effc_lo'] = effc.hi, effc.lo
                 if meta['has_spec_pdep']:
                     cpd = take(pd_idx)
-                    out += [cpd.hi, cpd.lo]
-            return out
+                    C2['cpd_hi'], C2['cpd_lo'] = cpd.hi, cpd.lo
+            parts = _compute_dd(meta, C2, ydd, pdd)
+            out = []
+            for name, _ in stream:
+                if name.startswith('vals_f'):
+                    v = parts['vals_f'][int(name[6:])]
+                elif name.startswith('vals_p'):
+                    v = parts['vals_p'][int(name[6:])]
+                else:
+                    v = parts[name]
+                out += [v.hi, v.lo]
+            return out, parts['col0'], parts['f_out']
 
         def call_tr(yh, yl, ph, plo):
             B = yh.shape[-1]
             grid = (B // block_b, n_jb)
             with df.barrier_mode('xla'):
-                ext_vals = precompute(DDA(yh, yl), DDA(ph, plo))
+                stream_vals, col0, f_out = xla_stage(DDA(yh, yl),
+                                                     DDA(ph, plo))
 
             const_specs = [
-                pl.BlockSpec(self.consts[nm].shape,
+                pl.BlockSpec(self.kconsts[nm].shape,
                              (lambda nd: (lambda i, kk: (i * 0,) * nd))(
-                                 self.consts[nm].ndim),
+                                 self.kconsts[nm].ndim),
                              memory_space=(pltpu.SMEM if nm in smem
                                            else pltpu.VMEM))
                 for nm in self.names]
             bspec = lambda rows: pl.BlockSpec(
                 (rows, block_b), lambda i, kk: (i * 0, i),
                 memory_space=pltpu.VMEM)
-            in_specs = const_specs + [bspec(N), bspec(N), bspec(1),
-                                      bspec(1)]
-            in_specs += [bspec(R) for _ in meta['ext_names']]
+            shp = {'R': R, 'N': N, 'J': J, '1': 1}
+            in_specs = const_specs + [bspec(shp[kind])
+                                      for _, kind in stream
+                                      for _2 in (0, 1)]
             out_specs = [
                 pl.BlockSpec((jb, N, block_b),
                              lambda i, kk: (kk, i * 0, i),
@@ -1420,36 +1394,28 @@ class PallasDDJacobianBig:
                 pl.BlockSpec((jb, N, block_b),
                              lambda i, kk: (kk, i * 0, i),
                              memory_space=pltpu.VMEM),
-                bspec(N), bspec(N),
             ]
             out_shape = [
                 jax.ShapeDtypeStruct((self.n_cols_pad, N, B), jnp.float32),
                 jax.ShapeDtypeStruct((self.n_cols_pad, N, B), jnp.float32),
-                jax.ShapeDtypeStruct((N, B), jnp.float32),
-                jax.ShapeDtypeStruct((N, B), jnp.float32),
             ]
-            shp = {'R': (R, block_b), 'N': (N, block_b),
-                   'J': (J, block_b), '1': (1, block_b)}
-            scratch = []
-            for _, kind in _parts_spec(meta):
-                scratch += [pltpu.VMEM(shp[kind], jnp.float32)] * 2
-            args = [jnp.asarray(self.consts[nm]) for nm in self.names]
+            args = [jnp.asarray(self.kconsts[nm]) for nm in self.names]
             mode = 'xla' if self.interpret else 'none'
             with df.barrier_mode(mode):
-                return pl.pallas_call(
+                Jh, Jl = pl.pallas_call(
                     kern, grid=grid, in_specs=in_specs,
                     out_specs=out_specs, out_shape=out_shape,
-                    scratch_shapes=scratch,
                     interpret=self.interpret,
                     compiler_params=pltpu.CompilerParams(
                         vmem_limit_bytes=110 * 1024 * 1024,
                         dimension_semantics=('arbitrary', 'arbitrary')),
-                )(*args, yh, yl, ph, plo, *ext_vals)
+                )(*args, *stream_vals)
+            return Jh, Jl, col0.hi, col0.lo, f_out.hi, f_out.lo
 
         self.call_tr = jax.jit(call_tr)
 
     def __call__(self, y, P):
-        N = self.meta['N']
+        N, J = self.meta['N'], self.meta['J']
         y64 = np.asarray(y, np.float64)
         P64 = np.broadcast_to(np.asarray(P, np.float64), y64.shape[:1])
         B = y64.shape[0]
@@ -1461,10 +1427,14 @@ class PallasDDJacobianBig:
         yl = (y64.T - yh.astype(np.float64)).astype(np.float32)
         ph = P64[None].astype(np.float32)
         plo = (P64[None] - ph.astype(np.float64)).astype(np.float32)
-        Jh, Jl, fh, fl = self.call_tr(jnp.asarray(yh), jnp.asarray(yl),
-                                      jnp.asarray(ph), jnp.asarray(plo))
-        Jmat = (np.asarray(Jh, np.float64) +
-                np.asarray(Jl, np.float64))[:N].transpose(2, 1, 0)[:B]
+        Jh, Jl, c0h, c0l, fh, fl = self.call_tr(
+            jnp.asarray(yh), jnp.asarray(yl), jnp.asarray(ph),
+            jnp.asarray(plo))
+        cols = (np.asarray(Jh, np.float64) +
+                np.asarray(Jl, np.float64))[:J]          # (J, N, B)
+        col0 = (np.asarray(c0h, np.float64) +
+                np.asarray(c0l, np.float64))[None]       # (1, N, B)
+        Jmat = np.concatenate([col0, cols], 0).transpose(2, 1, 0)[:B]
         f = (np.asarray(fh, np.float64) +
              np.asarray(fl, np.float64)).T[:B]
         return Jmat, f

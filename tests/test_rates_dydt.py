@@ -147,3 +147,46 @@ def test_jit_and_vmap_compatible(h2o2_packed, h2o2_states):
         axis=-1, keepdims=True)
     scale = np.maximum(scale, np.abs(f_eager).max(axis=-1, keepdims=True))
     np.testing.assert_allclose(f_eager / scale, f_jit / scale, atol=1e-11)
+
+
+def test_zero_pre_exponential_factor(tmp_path):
+    """A = 0 packs as a dead reaction (sign 0) with finite derivatives
+    instead of raising (reference emits the zero textually,
+    rate_subs.py:27-146)."""
+    import jax.numpy as jnp
+
+    from pyjac_tpu.core.mech import Mechanism
+    from pyjac_tpu.core.pack import pack
+    from pyjac_tpu.ops.jacobian import eval_jacobian, jacobian_fwd
+    from pyjac_tpu.ops.rates import eval_rxn_rates
+    from pyjac_tpu.ops.thermo import eval_conc
+    from pyjac_tpu.testers.synthetic import synthetic_mechanism
+
+    text = synthetic_mechanism(n_species=9, n_reactions=12, seed=2,
+                               all_features=False)
+    # zero out one reaction's pre-exponential factor
+    lines = text.splitlines()
+    for k, ln in enumerate(lines):
+        if '<=>' in ln and 'E+' in ln.upper():
+            import re
+            lines[k] = re.sub(r'\d\.\d+E\+\d+', '0.000E+00', ln, count=1)
+            break
+    path = tmp_path / 'm.inp'
+    path.write_text('\n'.join(lines))
+    mech = Mechanism.from_files(str(path))
+    packed = pack(mech)
+    assert (packed.A_sign == 0.0).sum() == 1
+    dead = int(np.argwhere(packed.A_sign == 0.0)[0][0])
+
+    from pyjac_tpu.testers.synthetic import random_states
+    y, T, P = random_states(mech, 8, seed=1)
+    _, _, _, conc = eval_conc(packed, jnp.asarray(T), jnp.asarray(P),
+                              jnp.asarray(y[:, 1:]))
+    fwd, rev = eval_rxn_rates(packed, jnp.asarray(T), jnp.asarray(P), conc)
+    assert np.all(np.asarray(fwd)[:, dead] == 0.0)
+    assert np.all(np.asarray(rev)[:, dead] == 0.0)
+    J = eval_jacobian(packed, 0.0, jnp.asarray(P), jnp.asarray(y))
+    Jf = jacobian_fwd(packed, 0.0, jnp.asarray(P), jnp.asarray(y))
+    assert np.isfinite(np.asarray(J)).all()
+    scale = np.abs(np.asarray(Jf)).max()
+    assert np.abs(np.asarray(J) - np.asarray(Jf)).max() / scale < 1e-10
