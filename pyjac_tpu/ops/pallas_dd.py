@@ -184,20 +184,13 @@ def _consts_dd(packed, conp=True, n_dyn=8, ext_gather=False):
             out.append(G)
         return out
 
-    def scatter_w(sp_idx, S):
-        W = np.zeros((S, R, J), dtype=np.float32)
-        last = np.zeros((S, R), dtype=np.float32)
-        for si in range(S):
-            for r in range(R):
-                j = sp_idx[r, si]
-                if j < J:
-                    W[si, r, j] = 1.0
-                else:
-                    last[si, r] = 1.0
-        return W, last
+    def last_mask(sp_idx, S):
+        """1.0 where a slot hits the eliminated species."""
+        return [(np.asarray(sp_idx[:, si]) == N - 1).astype(np.float32)
+                for si in range(S)]
 
-    Wf, lastf = scatter_w(packed.reac_sp, Sf)
-    Wp, lastp = scatter_w(packed.prod_sp, Sp)
+    lastf = last_mask(packed.reac_sp, Sf)
+    lastp = last_mask(packed.prod_sp, Sp)
     if not ext_gather:
         for i, g in enumerate(gather_mats(packed.reac_sp, Sf)):
             consts['G_f%d' % i] = g

@@ -28,16 +28,24 @@ def _fmt_nasa_line(vals, count):
     return ''.join('{: .8E}'.format(v) for v in vals[:count])
 
 
-def _species_thermo(name: str, elems, rng) -> str:
+def _species_thermo(name: str, elems, rng, smh_spread: float = 1.0) -> str:
     """One THERMO entry (4 fixed-column lines) with random-but-sane
-    NASA-7 coefficients."""
+    NASA-7 coefficients.
+
+    ``smh_spread`` scales the enthalpy/entropy constants (a5, a6): at
+    thousands of reactions the extreme-value tail of sum(nu * smh)
+    otherwise produces |ln Kc| ~ 80 — equilibrium constants (and hence
+    reverse rates and Jacobian entries ~1e41) far outside anything a
+    physical mechanism exhibits, and outside the f32 exponent range of
+    TPU float64.  Drawn-then-scaled so the RNG stream (and every pinned
+    fixture mechanism) is unchanged at spread 1."""
     a0 = rng.uniform(2.5, 5.0)
     a1 = rng.uniform(-2e-3, 3e-3)
     a2 = rng.uniform(-2e-6, 2e-6)
     a3 = rng.uniform(-1e-9, 1e-9)
     a4 = rng.uniform(-1e-13, 1e-13)
-    a5 = rng.uniform(-1.5e3, 1.5e3)
-    a6 = rng.uniform(-3.0, 8.0)
+    a5 = rng.uniform(-1.5e3, 1.5e3) * smh_spread
+    a6 = rng.uniform(-3.0, 8.0) * smh_spread
     lo = [a0, a1, a2, a3, a4, a5, a6]
     # high range: same value-ish family, different coefficients
     hi = [a0 + rng.uniform(-0.5, 0.5), a1 * rng.uniform(0.3, 0.9),
@@ -57,7 +65,8 @@ def _species_thermo(name: str, elems, rng) -> str:
 
 def synthetic_mechanism(n_species: int = 9, n_reactions: int = 24,
                         seed: int = 0, all_features: bool = True,
-                        gri_mix: bool = False) -> str:
+                        gri_mix: bool = False,
+                        smh_spread: float = 1.0) -> str:
     """Return Chemkin mechanism text with the requested size.
 
     When ``all_features`` is set, the first ~10 reactions cycle through
@@ -88,7 +97,8 @@ def synthetic_mechanism(n_species: int = 9, n_reactions: int = 24,
         else:
             comp = [(elems[k % len(elems)], 1 + k % 3),
                     (elems[(k + 1) % len(elems)], 1)]
-        out.write(_species_thermo(nm, comp, rng) + '\n')
+        out.write(_species_thermo(nm, comp, rng,
+                                   smh_spread=smh_spread) + '\n')
     out.write('END\n')
 
     def pick(n, exclude=()):
