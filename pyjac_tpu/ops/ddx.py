@@ -286,10 +286,17 @@ def slice_static(A, w: int = 8, n_slices: int = 7) -> StaticSliced:
 
 
 def _pow2_ceil(m):
-    """Smallest power of two > m (for m > 0), elementwise f32 bit trick."""
+    """Smallest power of two > m (for m > 0), elementwise f32 bit trick.
+
+    Capped at 2^127: for m >= 2^127 the doubled exponent overflows to
+    inf (scale inf -> inv 0 -> NaN through the out-scale product).
+    Under the cap |z| <= 2 instead of <= 1, so first-slice integers
+    reach 2^(w+1) — still bf16-exact for w <= 7 and inside the L1
+    accumulation guard's margin."""
     u = jax.lax.bitcast_convert_type(m, jnp.uint32)
     e = u & jnp.uint32(0x7F800000)
     s = jax.lax.bitcast_convert_type(e, jnp.float32) * np.float32(2.0)
+    s = jnp.where(e >= jnp.uint32(0x7F000000), np.float32(2.0 ** 127), s)
     return jnp.where(m > 0, s, np.float32(1.0))
 
 
@@ -343,11 +350,13 @@ def matmul_sliced_parts(slices, row_scale, w_static: int, max_l1: int,
     pairs whose product magnitude is below 2**-bits of
     (row max * column max).
     """
-    worst = max_l1 * (2 ** w_dyn)
+    # factor 2: when a column max hits the 2^127 scale cap
+    # (_pow2_ceil), first-slice integers reach 2^(w+1)
+    worst = max_l1 * (2 ** (w_dyn + 1))
     if worst >= (1 << 24):
         raise ValueError(
             'inexact accumulation: row_L1=%d * 2^%d >= 2^24 — '
-            'reduce slice widths' % (max_l1, w_dyn))
+            'reduce slice widths' % (max_l1, w_dyn + 1))
     dyn, col_scale = slice_dyn(x, w_dyn, n_dyn)
     terms = []
     for p, ls in enumerate(slices):

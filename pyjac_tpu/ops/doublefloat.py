@@ -98,9 +98,26 @@ def fast_two_sum(a, b) -> DD:
 
 
 def _split(a) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Veltkamp split: a == a_hi + a_lo with 12-bit halves."""
-    t = _barrier(_SPLIT * a)
-    a_hi = _barrier(t - _barrier(t - a))
+    """Split a == a_hi + a_lo with <=12-bit-significand halves.
+
+    Mantissa bitmask instead of the classic Veltkamp multiply: the
+    Veltkamp constant (2^12+1) * a overflows for |a| > ~8e34, turning
+    legitimately-large double-float products (reverse rate constants
+    reach ~1e37) into inf -> NaN.  The mask keeps sign+exponent+11
+    stored mantissa bits (12 significant); the remainder has <=12
+    significant bits, so all cross products in two_prod stay exact.
+    Scalars keep Veltkamp (Mosaic's bitcast is vector-only; the only
+    0-d dd operands are small physical constants)."""
+    if jnp.ndim(a) == 0:
+        t = _barrier(_SPLIT * a)
+        a_hi = _barrier(t - _barrier(t - a))
+        return a_hi, _barrier(a - a_hi)
+    # (a scaled-Veltkamp variant was tried for speed: its exact pow2
+    # pre-scale denormalizes small operands and costs 2^-24 exactness
+    # there — the bitmask is correct at every magnitude)
+    u = jax.lax.bitcast_convert_type(a, jnp.uint32)
+    a_hi = jax.lax.bitcast_convert_type(u & jnp.uint32(0xFFFFF000),
+                                        jnp.float32)
     return a_hi, _barrier(a - a_hi)
 
 
@@ -242,8 +259,17 @@ def dd_exp(a: DD) -> DD:
         acc = dd_add_f(t, np.float32(chi))
         if clo != 0.0:
             acc = dd_add_f(acc, np.float32(clo))
-    scale = _pow2i(k)
-    return DD(acc.hi * scale, acc.lo * scale)
+    # _pow2i is only valid for -127 < k < 128: an underflowed exponent
+    # field wraps into garbage (observed: a single Kc-underflowing
+    # reaction poisoning a whole 654-species Jacobian with NaN).
+    # Saturate: underflow -> exactly 0, overflow -> inf.
+    under = k < np.float32(-126.0)
+    over = k > np.float32(127.0)
+    scale = _pow2i(jnp.clip(k, np.float32(-126.0), np.float32(127.0)))
+    hi = jnp.where(under, np.float32(0.0),
+                   jnp.where(over, np.float32(np.inf), acc.hi * scale))
+    lo = jnp.where(under | over, np.float32(0.0), acc.lo * scale)
+    return DD(hi, lo)
 
 
 def dd_log(a: DD) -> DD:

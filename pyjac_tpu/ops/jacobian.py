@@ -520,7 +520,11 @@ def eval_jacobian(packed, t, param, y, conp: bool = True,
     rho_inv = 1.0 / rho
     fk = omega * mw * rho_inv[..., None]              # (..., N) incl. last
     denomT = rho * spec_heat_avg
-    fT = -jnp.sum(e_spec * mw * omega, axis=-1) / denomT
+    # e_spec*W pre-divided by rho*cp_bar: raw sum(h W domega) crosses
+    # the f32 exponent ceiling of TPU-emulated f64 on stiff large
+    # mechanisms even though the finished entry fits
+    eWn = e_spec * mw / denomT[..., None]
+    fT = -jnp.sum(eWn * omega, axis=-1)
 
     # species rows (reduced)
     JYY = (mw[:-1, None] * rho_inv[..., None, None] *
@@ -531,16 +535,15 @@ def eval_jacobian(packed, t, param, y, conp: bool = True,
            fk[..., :-1] * dlnrho_dT[..., None])
 
     # temperature row
-    eW = e_spec * mw                                   # (..., N)
-    JTY = -jnp.einsum('...n,...nj->...j', eW, domega_dY) / \
-        denomT[..., None]
+    JTY = -jnp.einsum('...n,...nj->...j', eWn, domega_dY)
     if conp:
         heat_j = (cp[..., :-1] - cp[..., -1:])
     else:
         heat_j = (cv[..., :-1] - cv[..., -1:])
     JTY = JTY - fT[..., None] * (r_vec + heat_j / spec_heat_avg[..., None])
-    JTT = (-(jnp.sum(de_dT * mw * omega, axis=-1) +
-             jnp.sum(eW * domega_dT, axis=-1)) / denomT -
+    JTT = (-(jnp.sum(de_dT * mw * omega / denomT[..., None],
+                     axis=-1) +
+             jnp.sum(eWn * domega_dT, axis=-1)) -
            fT * (dlnrho_dT + dsh_dT / spec_heat_avg))
 
     # --- stitch (..., N, N) -----------------------------------------------------

@@ -690,13 +690,17 @@ def _compute_dd(meta, C, y: DDA, P_in: DDA):
                             ddx.zeros_like(Fc))
             A_ = L - _C067 * cc - _C04
             B_ = _C0806 - _C11762 * cc - _C014 * L
-            AB = A_ / B_
-            g = ddx.recip(1.0 + AB * AB)
+            # division-free form of g = 1/(1 + (A/B)^2): B_ crosses
+            # zero at some states, and unlike IEEE f32/f64 (inf -> g=0
+            # gracefully), dd division turns the inf into NaN
+            # (inf - inf in the correction term)
+            denom = _tiny_floor(A_ * A_ + B_ * B_)
+            iden = ddx.recip(denom)
+            g = B_ * B_ * iden
             Ft = ddx.exp(_LN10 * (cc * g))
-            gg2AB = g * g * (2.0 * AB)
-            iB2 = ddx.recip(B_ * B_)
-            dg_dc = -(gg2AB * ((-_C067) * B_ + _C11762 * A_) * iB2)
-            dg_dL = -(gg2AB * (B_ + _C014 * A_) * iB2)
+            two_ab = (2.0 * A_) * B_ * (iden * iden)
+            dg_dc = -(two_ab * ((-_C067) * B_ + _C11762 * A_))
+            dg_dL = -(two_ab * (B_ + _C014 * A_))
             F = ddx.where(tmask, Ft, F)
             dF_dT = ddx.where(tmask,
                               Ft * _LN10 * (g + cc * dg_dc) * dcc, dF_dT)
@@ -796,10 +800,14 @@ def _compute_dd(meta, C, y: DDA, P_in: DDA):
     fk = omega * mw_col * rho_inv                        # (N, B)
     sh = ddx.sum0(cp * Y_full)                           # (1, B)
     dsh_dT = ddx.sum0(dcp * Y_full)
-    eW = h * mw_col
     denomT = rho * sh
     idenomT = ddx.recip(denomT)
-    fT = -(ddx.sum0(eW * omega) * idenomT)
+    # eW pre-divided by rho*cp_bar: the raw sum(h W_k * domega) crosses
+    # the f32 exponent ceiling on stiff large mechanisms (~1e39) even
+    # though the finished Jacobian entry fits — fold the denominator in
+    # BEFORE the contraction so every intermediate stays in range
+    eWn = (h * mw_col) * idenomT
+    fT = -ddx.sum0(eWn * omega)
     psi_q = psi * qnet
     xi_q = xi * qnet
 
@@ -812,15 +820,15 @@ def _compute_dd(meta, C, y: DDA, P_in: DDA):
     mwJ = DDA(mw_col.hi[0:J], mw_col.lo[0:J])
     JYT = mwJ * rho_inv * domega_dT.slice0(0, J) - fkJ * dlnrho_dT
     ish = ddx.recip(sh)
-    JTT = (-((ddx.sum0(cp * mw_col * omega) +
-              ddx.sum0(eW * domega_dT)) * idenomT) -
+    JTT = (-(ddx.sum0((cp * mw_col * idenomT) * omega) +
+             ddx.sum0(eWn * domega_dT)) -
            fT * (dlnrho_dT + dsh_dT * ish))
     col0 = ddx.concat0([JTT, JYT])                       # (N, B)
     f_out = ddx.concat0([fT, fkJ])
 
     return dict(col0=col0, f_out=f_out, vals_f=vals_f, vals_p=vals_p,
                 psi_q=psi_q, xi_q=xi_q, v_u=v_u, v_1=v_1, mwJ=mwJ,
-                rho_inv=rho_inv, fkJ=fkJ, eW=eW, idenomT=idenomT,
+                rho_inv=rho_inv, fkJ=fkJ, eWn=eWn,
                 ish=ish, cp=cp, mw_avg=mw_avg, fT=fT)
 
 
@@ -883,7 +891,7 @@ def _post_col(meta, C, parts, dcol: DDA, u_j: DDA, cp_j: DDA) -> DDA:
     cp_N = parts['cp'].slice0(meta['N'] - 1, meta['N'])    # (1, B)
     JYY_col = (parts['mwJ'] * parts['rho_inv'] * dcol.slice0(0, J) -
                parts['fkJ'] * r_j)
-    JTY_col = (-(ddx.sum0(parts['eW'] * dcol) * parts['idenomT']) -
+    JTY_col = (-ddx.sum0(parts['eWn'] * dcol) -
                parts['fT'] * (r_j + (cp_j - cp_N) * parts['ish']))
     return ddx.concat0([JTY_col, JYY_col])
 
@@ -1180,9 +1188,9 @@ def _parts_stream_spec(meta):
         spec += [('psi_q', 'R')]
         if meta['has_spec_pdep']:
             spec += [('xi_q', 'R')]
-    spec += [('v_u', 'N'), ('v_1', 'N'), ('eW', 'N'), ('cp', 'N')]
+    spec += [('v_u', 'N'), ('v_1', 'N'), ('eWn', 'N'), ('cp', 'N')]
     spec += [('fkJ', 'J')]
-    spec += [('rho_inv', '1'), ('idenomT', '1'), ('ish', '1'),
+    spec += [('rho_inv', '1'), ('ish', '1'),
              ('mw_avg', '1'), ('fT', '1')]
     return spec
 

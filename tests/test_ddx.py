@@ -178,3 +178,17 @@ def test_barrier_modes():
             s = df.two_sum(jnp.full((8,), a), jnp.full((8,), b))
         total = np.asarray(s.hi, np.float64) + np.asarray(s.lo, np.float64)
         assert np.all(total == 1.0 + 1e-9), mode
+
+
+def test_dd_exp_saturates_out_of_range():
+    """Underflow -> exactly 0, overflow -> inf: _pow2i's exponent field
+    wraps into garbage outside (-127, 128) (observed: a single
+    Kc-underflowing reaction poisoning a 654-species Jacobian)."""
+    x = ddx.const(np.array([-200.0, -120.0, 0.0, 95.0]))
+    e = ddx.exp(x)
+    hi = np.asarray(e.hi)
+    assert hi[0] == 0.0
+    assert np.isfinite(hi[1]) and hi[1] >= 0.0
+    assert hi[2] == 1.0
+    assert np.isinf(hi[3])
+    assert np.isfinite(np.asarray(e.lo)[[0, 3]]).all()
