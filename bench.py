@@ -43,7 +43,7 @@ def main():
     dev = jax.devices()[0]
     print('bench device: %s' % (dev,), file=sys.stderr)
 
-    B = 32768
+    B = 65536
     repeats = 3
     queue = 4           # queued dispatches per timed pass (one host
     # sync per pass: block_until_ready is unreliable on axon and each

@@ -1085,8 +1085,9 @@ class PallasDDJacobian:
             # kernel (hi+lo pairs and slice temporaries): measured on
             # chip, GRI scale (R=325) spills past the 128M scoped VMEM
             # at block 512 but fits at 256
+            # lane blocks below 128 are illegal (Mosaic block rule)
             block_b = 2 ** int(math.log2(
-                max(64, min(256, 90000.0 / packed.n_reactions))))
+                max(128, min(256, 90000.0 / packed.n_reactions))))
         self.block_b = block_b
         self.interpret = interpret
         self.consts, self.meta = _consts_dd(packed, conp=conp,
@@ -1146,7 +1147,7 @@ class PallasDDJacobian:
                         pltpu.VMEM((N, block_b), jnp.float32)],
                     interpret=self.interpret,
                     compiler_params=pltpu.CompilerParams(
-                        vmem_limit_bytes=100 * 1024 * 1024),
+                        vmem_limit_bytes=112 * 1024 * 1024),
                 )(*args, yh, yl, ph, plo)
 
         self.call_tr = jax.jit(call_tr)
