@@ -75,12 +75,32 @@ def generate_library(packed, out_dir: str,
             jax.ShapeDtypeStruct((B, N), jdt))
 
     entries = {}
+    dd_meta = {}
     for name in kernels:
-        fn = jax.jit(_kernel_fn(packed, name, conp))
         kwargs = {}
         if platforms is not None:
             kwargs['platforms'] = tuple(platforms)
-        exp = export.export(fn, **kwargs)(*args)
+        if name == 'jacobian_dd':
+            # the double-float Pallas kernel: raw dd-pair interface
+            # (y_hi, y_lo (N, B), p_hi, p_lo (1, B)) ->
+            # (J_hi, J_lo (N, N, B), f_hi, f_lo (N, B)); batch-minor,
+            # batch a symbolic multiple of the VMEM tile
+            from .ops.pallas_dd import PallasDDJacobian
+            pjdd = PallasDDJacobian(packed, conp=conp)
+            # Pallas lowers only for TPU (CPU would need interpret)
+            kwargs.setdefault('platforms', ('tpu',))
+            Bd = export.symbolic_shape('%d*b' % pjdd.block_b)[0]
+            f32 = jnp.float32
+            dd_args = (jax.ShapeDtypeStruct((N, Bd), f32),
+                       jax.ShapeDtypeStruct((N, Bd), f32),
+                       jax.ShapeDtypeStruct((1, Bd), f32),
+                       jax.ShapeDtypeStruct((1, Bd), f32))
+            exp = export.export(pjdd.call_tr, **kwargs)(*dd_args)
+            dd_meta = {'dd_block_b': pjdd.block_b,
+                       'dd_layout': 'batch-minor (hi, lo) f32 pairs'}
+        else:
+            fn = jax.jit(_kernel_fn(packed, name, conp))
+            exp = export.export(fn, **kwargs)(*args)
         blob = exp.serialize()
         fname = '{}_{}.jaxexport'.format(name, 'conp' if conp else 'conv')
         with open(os.path.join(out_dir, fname), 'wb') as fh:
@@ -97,6 +117,7 @@ def generate_library(packed, out_dir: str,
         'state_layout': '[T, Y_1..Y_{N-1}]',
         'param': 'pressure [Pa]' if conp else 'density [kg/m^3]',
         'kernels': entries,
+        **dd_meta,
     }
     man_path = os.path.join(out_dir, 'library.json')
     with open(man_path, 'w') as fh:

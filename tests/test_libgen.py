@@ -66,3 +66,17 @@ def test_conv_rates_kernel(h2o2_packed, h2o2_states, tmp_path):
         scale = float(jnp.abs(b).max()) + 1e-300
         np.testing.assert_allclose(np.asarray(a) / scale,
                                    np.asarray(b) / scale, atol=1e-12)
+
+
+def test_generate_and_load_dd_kernel(h2o2_packed, tmp_path):
+    """The double-float Pallas kernel exports as a TPU StableHLO
+    artifact (cross-lowered from any host; execution is TPU-only —
+    validated on-chip at 7.2e-10 golden parity, docs/performance.md).
+    Symbolic batch in multiples of the VMEM tile."""
+    from pyjac_tpu.libgen import generate_library, load_library
+    out = tmp_path / 'lib'
+    generate_library(h2o2_packed, str(out), kernels=('jacobian_dd',))
+    lib = load_library(str(out))
+    assert 'jacobian_dd' in lib
+    assert lib['manifest']['dd_block_b'] >= 128
+    assert 'dd_layout' in lib['manifest']
