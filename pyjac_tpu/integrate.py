@@ -79,7 +79,8 @@ class IntegrateResult(NamedTuple):
 
 def integrate(packed, y0, param, t_end, conp: bool = True,
               rtol: float = 1e-6, atol: float = 1e-10,
-              max_steps: int = 100000, first_step: Optional[float] = None):
+              max_steps: int = 100000, first_step: Optional[float] = None,
+              jacobian: str = 'xla'):
     """Integrate dy/dt from 0 to ``t_end`` for a batch of states.
 
     Parameters mirror the physics kernels: ``y0`` is (B, N) states
@@ -93,6 +94,12 @@ def integrate(packed, y0, param, t_end, conp: bool = True,
     ``status == STATUS_BUDGET`` (distinct from step-size underflow,
     ``STATUS_UNDERFLOW``).  A global iteration backstop of
     ``2 * max_steps`` bounds the while_loop.
+
+    ``jacobian='dd'`` evaluates the stage Jacobian with the
+    double-float Pallas kernel (TPU only; ~27x the emulated-f64 XLA
+    path at GRI scale) — the dominant cost of each Rosenbrock step.
+    Requires a supported mechanism and a batch divisible by 128; falls
+    back to the XLA Jacobian otherwise.
     """
     y0 = jnp.asarray(y0)
     B, N = y0.shape
@@ -102,8 +109,33 @@ def integrate(packed, y0, param, t_end, conp: bool = True,
     def f(y):
         return dydt_dispatch(packed, 0.0, param, y, conp=conp)
 
-    def jac(y):
-        return eval_jacobian(packed, 0.0, param, y, conp=conp)
+    use_dd = False
+    if jacobian == 'dd':
+        import jax as _jax
+
+        from .ops.pallas_dd import PallasDDJacobian, supports
+        blk = 256 if B % 256 == 0 else (128 if B % 128 == 0 else 0)
+        if (supports(packed) and blk and
+                _jax.default_backend() != 'cpu'):
+            _pjdd = PallasDDJacobian(packed, block_b=blk, conp=conp)
+            use_dd = True
+
+    if use_dd:
+        p_row = param[None, :]
+
+        def jac(y):
+            yt = y.T
+            yh = yt.astype(jnp.float32)
+            yl = (yt - yh.astype(y.dtype)).astype(jnp.float32)
+            ph = p_row.astype(jnp.float32)
+            plo = (p_row - ph.astype(y.dtype)).astype(jnp.float32)
+            Jh, Jl, _, _ = _pjdd.call_tr(yh, yl, ph, plo)
+            # kernel layout (column, row, batch) -> (batch, row, column)
+            return (jnp.transpose(Jh, (2, 1, 0)).astype(y.dtype) +
+                    jnp.transpose(Jl, (2, 1, 0)).astype(y.dtype))
+    else:
+        def jac(y):
+            return eval_jacobian(packed, 0.0, param, y, conp=conp)
 
     if first_step is None:
         h0 = t_end * 1e-6
