@@ -40,7 +40,8 @@ from .doublefloat import DD
 __all__ = [
     'DDA', 'wrap', 'const', 'to64', 'zeros_like', 'full_like', 'where',
     'exp', 'log', 'sum0', 'concat0', 'le', 'StaticSliced', 'slice_static',
-    'slice_dyn', 'matmul_sliced', 'gather_dot', 'dot_split3',
+    'slice_dyn', 'matmul_sliced', 'matmul_sliced_parts', 'gather_dot',
+    'dot_split3',
 ]
 
 
@@ -382,27 +383,4 @@ def matmul_sliced(S: StaticSliced, x: DDA, w_dyn: int = 7,
                                max(S.max_l1), x, w_dyn, n_dyn, bits)
 
 
-def dot_split3_lhs(a_f32, b_exact):
-    """(f32 LHS) @ (exact-in-bf16 RHS) via a 3-term bf16-exact mantissa
-    split of the LHS.  Exact when the RHS is one-hot (column select)."""
-    def trunc16(x):
-        u = jax.lax.bitcast_convert_type(x, jnp.uint32)
-        return jax.lax.bitcast_convert_type(
-            u & jnp.uint32(0xFFFF0000), jnp.float32)
 
-    hi = trunc16(a_f32)
-    r1 = a_f32 - hi
-    mid = trunc16(r1)
-    lo = (r1 - mid).astype(jnp.bfloat16)
-    bb = b_exact.astype(jnp.bfloat16)
-    out = jnp.dot(hi.astype(jnp.bfloat16), bb,
-                  preferred_element_type=jnp.float32)
-    out = out + jnp.dot(mid.astype(jnp.bfloat16), bb,
-                        preferred_element_type=jnp.float32)
-    return out + jnp.dot(lo, bb, preferred_element_type=jnp.float32)
-
-
-def col_select(a: DDA, e_col) -> DDA:
-    """Select a column of a dd matrix: ``A @ e_j`` with e_j one-hot
-    (M, K) @ (K, 1) -> (M, 1), near-exact per word."""
-    return DDA(dot_split3_lhs(a.hi, e_col), dot_split3_lhs(a.lo, e_col))
