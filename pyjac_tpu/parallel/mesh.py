@@ -159,6 +159,42 @@ def sharded_step(packed, mesh: Mesh, conp: bool = True):
     return step
 
 
+def sharded_step_dd(packed, mesh: Mesh, conp: bool = True,
+                    block_b: int = 0):
+    """Multi-chip parity-precision step: the double-float Pallas kernel
+    under shard_map, states sharded over the 'batch' axis (ICI), plus a
+    cross-chip max-norm reduction.
+
+    The hot path needs no collectives (states are embarrassingly
+    parallel, SURVEY §2.3/§5); shard_map runs the kernel on each
+    chip's local batch shard.  Inputs/outputs are the kernel's dd-pair
+    batch-minor layout; per-shard batch must divide by the VMEM tile.
+    Validated compiled on a real-chip 1-device mesh (multi-device
+    sharding semantics are exercised by the XLA-path virtual-mesh
+    tests; the dd kernel cannot run interpret-mode on CPU)."""
+    from functools import partial as _partial
+
+    from ..ops.pallas_dd import PallasDDJacobian
+
+    pj = PallasDDJacobian(packed, block_b=block_b, conp=conp)
+    spec_b = P(None, 'batch')
+
+    @jax.jit
+    @_partial(jax.shard_map, mesh=mesh,
+              in_specs=(spec_b, spec_b, spec_b, spec_b),
+              out_specs=(P(None, None, 'batch'), P(None, None, 'batch'),
+                         spec_b, spec_b, P()),
+              check_vma=False)     # pallas custom-call outputs carry
+    # no varying-mesh-axes metadata
+    def step(yh, yl, ph, plo):
+        Jh, Jl, fh, fl = pj.call_tr(yh, yl, ph, plo)
+        local = jnp.max(jnp.abs(Jh)) + jnp.max(jnp.abs(fh))
+        norm = jax.lax.pmax(local, 'batch')        # rides the ICI
+        return Jh, Jl, fh, fl, norm
+
+    return step, pj.block_b
+
+
 def initialize_distributed(coordinator_address: Optional[str] = None,
                            num_processes: Optional[int] = None,
                            process_id: Optional[int] = None) -> None:

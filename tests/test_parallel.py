@@ -90,3 +90,22 @@ def test_batch_evaluator_pallas(h2o2_packed, h2o2_states):
     scale = np.abs(J_ref).max()
     assert np.abs(np.asarray(J, dtype=np.float64) -
                   J_ref).max() / scale < 2e-5
+
+
+def test_sharded_step_dd_traces(h2o2_packed):
+    """Parity-precision multi-chip step: the dd Pallas kernel under
+    jax.shard_map over the batch axis. Executed compiled on a real-chip
+    mesh (finite cross-chip norm, docs/status_round2.md); here we pin
+    the construction + abstract trace on the virtual mesh."""
+    import jax
+
+    from pyjac_tpu.parallel.mesh import make_mesh, sharded_step_dd
+    mesh = make_mesh(1)
+    step, blk = sharded_step_dd(h2o2_packed, mesh)
+    N = h2o2_packed.n_species
+    B = blk * 2
+    sh = jax.ShapeDtypeStruct((N, B), jnp.float32)
+    sp = jax.ShapeDtypeStruct((1, B), jnp.float32)
+    out = jax.eval_shape(step, sh, sh, sp, sp)
+    assert out[0].shape == (N, N, B)
+    assert out[4].shape == ()
