@@ -31,7 +31,8 @@ from .core.pack import PackedMechanism, pack
 from .ops.dydt import dydt, dydt_conp, dydt_conv, split_state
 from .ops.jacobian import (eval_jacobian, jacobian_fwd,
                            jacobian_vector_product)
-from .ops.pallas_dd import PallasDDJacobian, jacobian_dd_xla
+from .ops.pallas_dd import (PallasDDJacobian, PallasDDJacobianBig,
+                            jacobian_dd_xla)
 from .ops.pallas_jacobian import PallasJacobian
 from .ops.rates import (compact_pres_mod, compact_rev, eval_kc, eval_kf,
                         eval_rxn_rates, eval_spec_rates, get_rxn_pres_mod,
@@ -50,7 +51,7 @@ __all__ = [
     'eval_smh', 'eval_spec_rates', 'eval_u', 'get_rxn_pres_mod',
     'get_species_mappings', 'ignition_delay', 'integrate',
     'jacobian_fwd', 'jacobian_vector_product',
-    'PallasDDJacobian', 'jacobian_dd_xla',
+    'PallasDDJacobian', 'PallasDDJacobianBig', 'jacobian_dd_xla',
     'pack', 'rates_of_progress', 'read_mech', 'read_mech_cti',
     'read_thermo', 'split_state', 'third_body_concentrations',
 ]
