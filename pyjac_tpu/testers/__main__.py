@@ -24,10 +24,19 @@ def main(argv=None) -> int:
     parser.add_argument('-n', '--num_states', type=int, default=32)
     parser.add_argument('--conv', action='store_true', default=False)
     parser.add_argument('-o', '--out', default='error_arrays.npz')
-    parser.add_argument('--fail-above', type=float, default=1e-8,
+    parser.add_argument('--fail-above', type=float, default=None,
                         dest='fail_above',
-                        help='Exit non-zero if the thresholded Jacobian '
-                             'max relative error exceeds this.')
+                        help='Exit non-zero if the gating Jacobian error '
+                             'exceeds this. Default: 1e-8 on the '
+                             'thresholded max-relative metric on CPU '
+                             '(true f64). On TPU the gate is 1e-6 on the '
+                             'norm-relative metric instead: both '
+                             'compared paths there are 2^-48 emulated '
+                             'f64, so heavily-cancelled entries near the '
+                             '||J||/1e20 threshold carry O(1) relative '
+                             'error for ANY 2^-48 arithmetic '
+                             '(docs/performance.md); full-precision '
+                             'thresholded validation is the CPU suite.')
     parser.add_argument('-or', '--only_reaction', default=None,
                         help='Comma-separated reaction indices: strip '
                              'the mechanism to just these for triage '
@@ -69,12 +78,18 @@ def main(argv=None) -> int:
     err = run_functional_test(mech, packed, states, conp=not args.conv,
                               num_states=args.num_states,
                               out_file=args.out, condition_numbers=cn)
-    worst = err['err_jac_thr_max'].max()
-    if worst > args.fail_above:
-        print('FAIL: thresholded Jacobian error %.3e > %.1e' %
-              (worst, args.fail_above), file=sys.stderr)
+    on_cpu = jax.default_backend() == 'cpu'
+    if on_cpu:
+        worst, metric = err['err_jac_thr_max'].max(), 'thresholded'
+        gate = args.fail_above if args.fail_above is not None else 1e-8
+    else:
+        worst, metric = err['err_jac_norm'].max(), 'norm-relative'
+        gate = args.fail_above if args.fail_above is not None else 1e-6
+    if worst > gate:
+        print('FAIL: %s Jacobian error %.3e > %.1e' %
+              (metric, worst, gate), file=sys.stderr)
         return 1
-    print('PASS: worst thresholded Jacobian error %.3e' % worst)
+    print('PASS: worst %s Jacobian error %.3e' % (metric, worst))
     return 0
 
 
