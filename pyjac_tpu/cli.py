@@ -28,7 +28,7 @@ def get_parser() -> argparse.ArgumentParser:
                              'both values mean the JAX/XLA pipeline).')
     parser.add_argument('-i', '--input', type=str, required=True,
                         help='Input mechanism filename '
-                             '(.inp/.dat Chemkin or .cti Cantera).')
+                             '(.inp/.dat Chemkin; .cti/.yaml/.xml Cantera).')
     parser.add_argument('-t', '--thermo', type=str, default=None,
                         help='Thermodynamic database filename, or nothing '
                              'if contained in the mechanism file.')

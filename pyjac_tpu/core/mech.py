@@ -111,14 +111,17 @@ class Mechanism:
     @classmethod
     def from_files(cls, mech_path: str, therm_path: Optional[str] = None,
                    last_spec: Optional[str] = None) -> "Mechanism":
-        """Load a Chemkin ``.inp/.dat``, Cantera ``.cti``, or Cantera
-        YAML (``.yaml``) mechanism."""
+        """Load a Chemkin ``.inp/.dat``, Cantera ``.cti``, Cantera
+        YAML (``.yaml``), or Cantera CTML (``.xml``) mechanism."""
         if mech_path.endswith('.cti'):
             from .cti import read_mech_cti
             elems, specs, reacs = read_mech_cti(mech_path)
         elif mech_path.endswith(('.yaml', '.yml')):
             from .ctyaml import read_mech_yaml
             elems, specs, reacs = read_mech_yaml(mech_path)
+        elif mech_path.endswith('.xml'):
+            from .ctml import read_mech_ctml
+            elems, specs, reacs = read_mech_ctml(mech_path)
         else:
             elems, specs, reacs = chemkin.read_mech(mech_path, therm_path)
         return cls.from_ir(elems, specs, reacs, last_spec=last_spec,
