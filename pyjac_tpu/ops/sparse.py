@@ -81,3 +81,34 @@ def sparsity_summary(packed) -> dict:
             'fill': float(m.mean()),
         }
     return out
+
+
+def csr_structure(packed, conp: bool = True):
+    """CSR pattern (indptr, indices) of the structural sparsity.
+
+    The export target for implicit solvers that accept a fixed pattern
+    (the role of the reference's ``sparse_multiplier`` emission,
+    create_jacobian.py:3301-3404, whose ``touched``-driven index list
+    is the same object). Row-major over the (N, N) Jacobian with the
+    temperature equation at row/column 0.
+    """
+    mask = structural_sparsity(packed, conp)
+    indptr = np.zeros(mask.shape[0] + 1, dtype=np.int32)
+    np.cumsum(mask.sum(axis=1), out=indptr[1:])
+    indices = np.nonzero(mask)[1].astype(np.int32)
+    return indptr, indices
+
+
+def sparse_values(J, indptr, indices):
+    """Gather the CSR ``data`` array from dense Jacobians.
+
+    ``J``: (..., N, N) dense batch; returns (..., nnz) in the order of
+    ``csr_structure``. Works under jit (static pattern -> static
+    gather); pairs with :func:`csr_structure` to hand
+    ``scipy.sparse.csr_matrix((data[i], indices, indptr))`` per state
+    to a host-side implicit solver.
+    """
+    import jax.numpy as jnp
+    N = len(indptr) - 1
+    rows = np.repeat(np.arange(N, dtype=np.int32), np.diff(indptr))
+    return jnp.asarray(J)[..., rows, indices]

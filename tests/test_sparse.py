@@ -74,3 +74,43 @@ def test_mask_covers_synthetic_with_plog_cheb(conp, tmp_path):
         pd[np.asarray(packed.cheb_idx)] = True
         touched = (np.abs(nu[pd]).sum(axis=0) != 0)[:-1]
         assert mask[1:, 1:][touched].all()
+
+
+def test_csr_structure_roundtrip(h2o2_inp):
+    """CSR export matches the dense pattern and scipy reconstruction."""
+    import jax.numpy as jnp
+
+    from pyjac_tpu.core.mech import Mechanism
+    from pyjac_tpu.core.pack import pack
+    from pyjac_tpu.ops.jacobian import eval_jacobian
+    from pyjac_tpu.ops.sparse import (csr_structure, sparse_values,
+                                      structural_sparsity)
+    from pyjac_tpu.testers.synthetic import random_states
+
+    mech = Mechanism.from_files(h2o2_inp)
+    packed = pack(mech)
+    for conp in (True, False):
+        mask = structural_sparsity(packed, conp)
+        indptr, indices = csr_structure(packed, conp)
+        assert indptr[-1] == mask.sum()
+        assert len(indices) == mask.sum()
+        y, _, P = random_states(mech, 4, seed=2)
+        param = P if conp else np.full(4, 1.2)
+        J = eval_jacobian(packed, 0.0, jnp.asarray(param),
+                          jnp.asarray(y), conp=conp)
+        data = np.asarray(sparse_values(J, indptr, indices))
+        assert data.shape == (4, mask.sum())
+        # dense entries OUTSIDE the pattern must be zero...
+        np.testing.assert_array_equal(np.asarray(J)[:, ~mask], 0.0)
+        # ...and the CSR data reconstructs the dense matrix
+        try:
+            from scipy.sparse import csr_matrix
+        except ImportError:
+            dense = np.zeros_like(np.asarray(J)[0])
+            rows = np.repeat(np.arange(len(indptr) - 1),
+                             np.diff(indptr))
+            dense[rows, indices] = data[0]
+        else:
+            dense = csr_matrix(
+                (data[0], indices, indptr), shape=mask.shape).toarray()
+        np.testing.assert_array_equal(dense, np.asarray(J)[0])
