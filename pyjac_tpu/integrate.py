@@ -80,7 +80,7 @@ class IntegrateResult(NamedTuple):
 def integrate(packed, y0, param, t_end, conp: bool = True,
               rtol: float = 1e-6, atol: float = 1e-10,
               max_steps: int = 100000, first_step: Optional[float] = None,
-              jacobian: str = 'xla'):
+              jacobian: str = 'xla', method: str = 'ros23'):
     """Integrate dy/dt from 0 to ``t_end`` for a batch of states.
 
     Parameters mirror the physics kernels: ``y0`` is (B, N) states
@@ -100,7 +100,15 @@ def integrate(packed, y0, param, t_end, conp: bool = True,
     path at GRI scale) — the dominant cost of each Rosenbrock step.
     Requires a supported mechanism and a batch divisible by 128; falls
     back to the XLA Jacobian otherwise.
+
+    ``method`` selects the Rosenbrock scheme: ``'ros23'`` (default,
+    the ode23s 3-stage order-2(3) method) or ``'rodas3'`` (4-stage
+    order-3(2), stiffly accurate, L-stable — the RODAS3 tableau of
+    Sandu et al. as distributed with KPP; one extra linear solve per
+    step buys larger accepted steps on stiff ignition problems).
     """
+    if method not in ('ros23', 'rodas3'):
+        raise ValueError('unknown method %r' % (method,))
     y0 = jnp.asarray(y0)
     B, N = y0.shape
     param = jnp.broadcast_to(jnp.asarray(param, dtype=y0.dtype), (B,))
@@ -169,18 +177,34 @@ def integrate(packed, y0, param, t_end, conp: bool = True,
 
         F0 = f(c.y)
         J = jac(c.y)
-        W = eye - (h * _D)[:, None, None] * J
+        gamma = _D if method == 'ros23' else 0.5
+        W = eye - (h * gamma)[:, None, None] * J
 
         def solve(rhs):
             return gauss_solve(W, rhs)
 
-        k1 = solve(F0)
-        F1 = f(c.y + 0.5 * h[:, None] * k1)
-        k2 = solve(F1 - k1) + k1
-        y_new = c.y + h[:, None] * k2
-        F2 = f(y_new)
-        k3 = solve(F2 - _E32 * (k2 - F1) - 2.0 * (k1 - F0))
-        err_vec = (h / 6.0)[:, None] * (k1 - 2.0 * k2 + k3)
+        if method == 'ros23':
+            k1 = solve(F0)
+            F1 = f(c.y + 0.5 * h[:, None] * k1)
+            k2 = solve(F1 - k1) + k1
+            y_new = c.y + h[:, None] * k2
+            F2 = f(y_new)
+            k3 = solve(F2 - _E32 * (k2 - F1) - 2.0 * (k1 - F0))
+            err_vec = (h / 6.0)[:, None] * (k1 - 2.0 * k2 + k3)
+        else:
+            # RODAS3 in the KPP stage form: (I - h g J) K_i =
+            # h g F(Y_i) + g sum_j C_ij K_j, with gamma = 1/2,
+            # A = [[0],[2,0],[2,0,1]], C = [[4],[1,-1],[1,-1,-8/3]],
+            # M = [2,0,1,1], E = [0,0,0,1]; stage 2 reuses F(y).
+            hc = h[:, None]
+            K1 = solve(0.5 * hc * F0)
+            K2 = solve(0.5 * hc * F0 + 2.0 * K1)
+            Y3 = c.y + 2.0 * K1
+            K3 = solve(0.5 * (hc * f(Y3) + K1 - K2))
+            Y4 = Y3 + K3
+            K4 = solve(0.5 * (hc * f(Y4) + K1 - K2) - (4.0 / 3.0) * K3)
+            y_new = c.y + 2.0 * K1 + K3 + K4
+            err_vec = K4
 
         scale = atol + rtol * jnp.maximum(jnp.abs(c.y), jnp.abs(y_new))
         err = jnp.sqrt(jnp.mean((err_vec / scale) ** 2, axis=-1))
