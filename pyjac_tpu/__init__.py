@@ -34,6 +34,8 @@ from .ops.jacobian import (eval_jacobian, jacobian_fwd,
 from .ops.pallas_dd import (PallasDDJacobian, PallasDDJacobianBig,
                             jacobian_dd_xla)
 from .ops.pallas_jacobian import PallasJacobian
+from .ops.sparse import (csr_structure, sparse_values,  # noqa: F401
+                         structural_sparsity)
 from .ops.rates import (compact_pres_mod, compact_rev, eval_kc, eval_kf,
                         eval_rxn_rates, eval_spec_rates, get_rxn_pres_mod,
                         rates_of_progress, third_body_concentrations)
@@ -54,4 +56,5 @@ __all__ = [
     'PallasDDJacobian', 'PallasDDJacobianBig', 'jacobian_dd_xla',
     'pack', 'rates_of_progress', 'read_mech', 'read_mech_cti',
     'read_thermo', 'split_state', 'third_body_concentrations',
+    'structural_sparsity', 'csr_structure', 'sparse_values',
 ]
