@@ -810,6 +810,14 @@ def _compute_dd(meta, C, y: DDA, P_in: DDA):
     fT = -ddx.sum0(eWn * omega)
     psi_q = psi * qnet
     xi_q = xi * qnet
+    # column-independent parts of the P1 pressure-mod terms, hoisted out
+    # of the per-column assembly and contracted ONCE per block:
+    # nuT @ P1_j = w_j * (nuT @ base_j) - v_at + v_pd  (see _p1_col)
+    v_at = v_pd = None
+    if meta['has_pres_mod']:
+        v_at = _mm(C, meta, 'nuT', psi_q * _cdd(C, 'at_last'))
+        if meta['has_spec_pdep']:
+            v_pd = _mm(C, meta, 'nuT', xi_q * _cdd(C, 'pd_last'))
 
     # temperature column (column 0)
     if conp:
@@ -829,11 +837,17 @@ def _compute_dd(meta, C, y: DDA, P_in: DDA):
     return dict(col0=col0, f_out=f_out, vals_f=vals_f, vals_p=vals_p,
                 psi_q=psi_q, xi_q=xi_q, v_u=v_u, v_1=v_1, mwJ=mwJ,
                 rho_inv=rho_inv, fkJ=fkJ, eWn=eWn,
-                ish=ish, cp=cp, mw_avg=mw_avg, fT=fT)
+                ish=ish, cp=cp, mw_avg=mw_avg, fT=fT,
+                v_at=v_at, v_pd=v_pd)
 
 
-def _p1_col(meta, C, parts, colf, w_j: DDA) -> DDA:
-    """The dense assembly operand column P1[:, j] as (R, B) dd.
+def _p1_col(meta, C, parts, colf) -> DDA:
+    """The column-dependent factor of the assembly operand P1[:, j] as
+    (R, B) dd: P1_j = base_j * w_j - psi_q*at_last + xi_q*pd_last, and
+    this returns base_j.  The w_j factor commutes through the linear
+    nu-contraction to the cheap (N, B) side and the two dense terms
+    contract once per block (parts['v_at']/['v_pd']) — together ~40%
+    of the per-column (R, B) dd work removed vs assembling P1 in full.
 
     ``colf`` is the reduced-species column index as an f32 scalar: all
     per-column selections are direct comparisons against tiny (R, 1)
@@ -862,7 +876,7 @@ def _p1_col(meta, C, parts, colf, w_j: DDA) -> DDA:
         acc_lo = acc_lo + vals_p[s].lo * m
     sum_p = DDA(acc_hi, acc_lo)
 
-    P1_col = (sum_f - sum_p) * w_j
+    P1_col = sum_f - sum_p
     if meta['has_pres_mod']:
         # alpha_tilde column: disjoint efficiency slots, exact adds
         m = (C['effidx0'] == colf).astype(jnp.float32)
@@ -871,19 +885,23 @@ def _p1_col(meta, C, parts, colf, w_j: DDA) -> DDA:
             m = (C['effidx%d' % s] == colf).astype(jnp.float32)
             at = DDA(at.hi + _cdd(C, 'effval%d' % s).hi * m,
                      at.lo + _cdd(C, 'effval%d' % s).lo * m)
-        at_col = at * w_j - _cdd(C, 'at_last')
-        P1_col = P1_col + parts['psi_q'] * at_col
+        P1_col = P1_col + parts['psi_q'] * at
         if meta['has_spec_pdep']:
             mpd = (C['pdidxf'] == colf).astype(jnp.float32)
-            pd_col = DDA(w_j.hi * mpd, w_j.lo * mpd) + _cdd(C, 'pd_last')
-            P1_col = P1_col + parts['xi_q'] * pd_col
+            P1_col = P1_col + _mask_mul(parts['xi_q'], mpd)
     return P1_col
 
 
 def _post_col(meta, C, parts, dcol: DDA, u_j: DDA, cp_j: DDA) -> DDA:
-    """Finish one column from its stoichiometric contraction dcol."""
+    """Finish one column from its stoichiometric contraction dcol
+    (already scaled by w_j; the hoisted dense pressure-mod terms are
+    reattached here — see _p1_col)."""
     J = meta['J']
     dcol = dcol + parts['v_u'] * u_j + parts['v_1']
+    if meta['has_pres_mod']:
+        dcol = dcol - parts['v_at']
+        if meta['has_spec_pdep']:
+            dcol = dcol + parts['v_pd']
     if meta['conp']:
         r_j = -(parts['mw_avg'] * u_j)
     else:
@@ -908,14 +926,14 @@ def _column_block_dd(meta, C, parts, col_specs):
     """
     B = parts['mw_avg'].hi.shape[-1]
     G = len(col_specs)
-    p1 = [_p1_col(meta, C, parts, cf, w) for (cf, w, _, _) in col_specs]
+    p1 = [_p1_col(meta, C, parts, cf) for (cf, _, _, _) in col_specs]
     blk = DDA(jnp.concatenate([p.hi for p in p1], axis=1),
               jnp.concatenate([p.lo for p in p1], axis=1))
     dblk = _mm(C, meta, 'nuT', blk)                     # (N, G*B)
     out = []
-    for g, (_, _, u_j, cp_j) in enumerate(col_specs):
+    for g, (_, w_j, u_j, cp_j) in enumerate(col_specs):
         dcol = DDA(dblk.hi[:, g * B:(g + 1) * B],
-                   dblk.lo[:, g * B:(g + 1) * B])
+                   dblk.lo[:, g * B:(g + 1) * B]) * w_j
         out.append(_post_col(meta, C, parts, dcol, u_j, cp_j))
     return out
 
@@ -1186,9 +1204,9 @@ def _parts_stream_spec(meta):
     spec = [('vals_f%d' % s, 'R') for s in range(meta['Sf'])]
     spec += [('vals_p%d' % s, 'R') for s in range(meta['Sp'])]
     if meta['has_pres_mod']:
-        spec += [('psi_q', 'R')]
+        spec += [('psi_q', 'R'), ('v_at', 'N')]
         if meta['has_spec_pdep']:
-            spec += [('xi_q', 'R')]
+            spec += [('xi_q', 'R'), ('v_pd', 'N')]
     spec += [('v_u', 'N'), ('v_1', 'N'), ('eWn', 'N'), ('cp', 'N')]
     spec += [('fkJ', 'J')]
     spec += [('rho_inv', '1'), ('ish', '1'),
