@@ -59,8 +59,10 @@ def main():
     pj = PallasDDJacobian(packed)
     # full on-device reductions: every output element feeds the
     # checksum so XLA cannot dead-code-eliminate any of the kernel,
-    # while the host transfer stays a single scalar per output
-    fn = jax.jit(lambda a, b, c, d: [jnp.nansum(x)
+    # while the host transfer stays a single scalar per output.
+    # jnp.sum (not nansum): a NaN anywhere must poison the checksum so
+    # the non-finite guard below catches a broken kernel
+    fn = jax.jit(lambda a, b, c, d: [jnp.sum(x)
                                      for x in pj.call_tr(a, b, c, d)])
 
     t0 = time.time()
@@ -94,7 +96,7 @@ def main():
                                       T_range=(1500.0, 2500.0))
             ytr = jnp.asarray(yp.T, jnp.float32)
             Prow = jnp.asarray(Pp[None], jnp.float32)
-            fnp = jax.jit(lambda yt, pr: [jnp.nansum(x)
+            fnp = jax.jit(lambda yt, pr: [jnp.sum(x)
                                           for x in pf.call_tr(yt, pr)])
             float(fnp(ytr, Prow)[0])
             dts = []

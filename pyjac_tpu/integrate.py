@@ -32,7 +32,11 @@ _E32 = 6.0 + math.sqrt(2.0)
 
 def gauss_solve(A, b):
     """Batched dense solve via Gaussian elimination with partial
-    pivoting, in pure jnp ops (statically unrolled over N).
+    pivoting, in pure jnp ops with ``lax.fori_loop`` over the pivot
+    index — trace size is O(1) in N, so the integrator compiles in
+    reasonable time at any mechanism size (the statically-unrolled
+    round-2 version grew an O(N^2) trace and already took ~3 min to
+    compile at GRI scale).
 
     XLA:TPU's LU-decomposition lowering does not compile under f64
     emulation on this platform (jnp.linalg.solve / lu_factor both die in
@@ -42,30 +46,40 @@ def gauss_solve(A, b):
     (B, N); returns x with A @ x == b.
     """
     N = A.shape[-1]
-    M = jnp.concatenate([A, b[..., None]], axis=-1)      # (B, N, N+1)
+    M0 = jnp.concatenate([A, b[..., None]], axis=-1)     # (B, N, N+1)
     idx = jnp.arange(N)
-    for k in range(N):
-        col = jnp.abs(M[:, :, k])
+
+    def elim_body(k, M):
+        col = jnp.abs(jnp.take(M, k, axis=2))            # (B, N)
         col = jnp.where(idx[None, :] >= k, col, -jnp.inf)
         p = jnp.argmax(col, axis=1)                      # (B,)
         perm = jnp.where(idx[None, :] == k, p[:, None],
                          jnp.where(idx[None, :] == p[:, None], k,
                                    idx[None, :]))
         M = jnp.take_along_axis(M, perm[:, :, None], axis=1)
-        piv_row = M[:, k, :]                             # (B, N+1)
-        fac = M[:, :, k] / piv_row[:, k][:, None]
+        piv_row = jnp.take(M, k, axis=1)                 # (B, N+1)
+        fac = jnp.take(M, k, axis=2) / jnp.take(piv_row, k,
+                                                axis=1)[:, None]
         fac = jnp.where(idx[None, :] > k, fac, 0.0)
-        M = M - fac[:, :, None] * piv_row[:, None, :]
-    x = jnp.zeros_like(b)
-    for k in range(N - 1, -1, -1):
-        s = jnp.einsum('bj,bj->b', M[:, k, :N], x)
-        x = x.at[:, k].set((M[:, k, N] - s) / M[:, k, k])
-    return x
+        return M - fac[:, :, None] * piv_row[:, None, :]
+
+    M = jax.lax.fori_loop(0, N, elim_body, M0)
+
+    def back_body(i, x):
+        k = N - 1 - i
+        row = jnp.take(M, k, axis=1)                     # (B, N+1)
+        s = jnp.sum(row[:, :N] * x, axis=-1)
+        v = (row[:, N] - s) / jnp.take(row, k, axis=1)
+        return x.at[:, k].set(v)
+
+    return jax.lax.fori_loop(0, N, back_body, jnp.zeros_like(b))
 
 
 STATUS_SUCCESS = 0        # reached t_end
 STATUS_UNDERFLOW = 1      # step size underflowed (stiff failure)
 STATUS_BUDGET = 2         # per-state step budget exhausted mid-run
+STATUS_STALLED = 3        # cut off by the global 2*max_steps backstop
+#                           while its own attempt budget still had room
 
 
 class IntegrateResult(NamedTuple):
@@ -127,6 +141,17 @@ def integrate(packed, y0, param, t_end, conp: bool = True,
                 _jax.default_backend() != 'cpu'):
             _pjdd = PallasDDJacobian(packed, block_b=blk, conp=conp)
             use_dd = True
+        else:
+            # the dd kernel is ~27x the emulated-f64 XLA path at GRI
+            # scale: falling back silently would be an invisible perf
+            # cliff (trace-time warning; the decision is Python-level)
+            import warnings
+            reason = ('mechanism outside Pallas coverage'
+                      if not supports(packed) else
+                      'batch size %d not divisible by 128' % B
+                      if not blk else 'no TPU backend')
+            warnings.warn("integrate(jacobian='dd'): falling back to "
+                          'the XLA Jacobian (%s)' % reason, stacklevel=2)
 
     if use_dd:
         p_row = param[None, :]
@@ -239,9 +264,12 @@ def integrate(packed, y0, param, t_end, conp: bool = True,
                  iters=jnp.zeros((), jnp.int32))
     out = jax.lax.while_loop(cond, body, init)
     success = (out.t >= t_end) & ~out.failed
-    status = jnp.where(success, STATUS_SUCCESS,
-                       jnp.where(out.failed, STATUS_UNDERFLOW,
-                                 STATUS_BUDGET)).astype(jnp.int32)
+    att = out.steps + out.rejected
+    status = jnp.where(
+        success, STATUS_SUCCESS,
+        jnp.where(out.failed, STATUS_UNDERFLOW,
+                  jnp.where(att >= max_steps, STATUS_BUDGET,
+                            STATUS_STALLED))).astype(jnp.int32)
     return IntegrateResult(out.y, out.t, out.steps, out.rejected, success,
                            status)
 

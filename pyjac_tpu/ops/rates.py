@@ -335,7 +335,18 @@ def log_kf(packed, T, pres):
     if packed.has_cheb:
         lnkf = lnkf.at[..., i(packed.cheb_idx)].set(
             LOG10 * _cheb_log10kf(packed, T, pres))
-    sign = f(packed.A_sign) if packed.has_negative_A else None
+    if packed.has_negative_A:
+        # PLOG/Chebyshev rows just had lnkf overwritten wholesale, so
+        # any sign from a zero/negative placeholder Arrhenius line must
+        # not survive — mirror eval_kf's ordering (sign applied BEFORE
+        # the overwrite) by neutralising it on overwritten rows
+        sign = f(packed.A_sign)
+        if packed.has_plog:
+            sign = sign.at[i(packed.plog_idx)].set(1.0)
+        if packed.has_cheb:
+            sign = sign.at[i(packed.cheb_idx)].set(1.0)
+    else:
+        sign = None
     return lnkf, sign
 
 

@@ -149,6 +149,45 @@ def test_jit_and_vmap_compatible(h2o2_packed, h2o2_states):
     np.testing.assert_allclose(f_eager / scale, f_jit / scale, atol=1e-11)
 
 
+def test_log_path_sign_on_plog_placeholder(tmp_path):
+    """A PLOG/Chebyshev row whose *placeholder* main Arrhenius line has
+    A = 0 (sign packed as 0) must still get its full rate through the
+    log-space path: eval_kf applies the sign BEFORE the PLOG/Cheb
+    overwrite, so the log path must neutralise the sign on overwritten
+    rows (round-2 advisor finding: the log path zeroed such rows,
+    corrupting the on-device AD oracle)."""
+    import re
+
+    from pyjac_tpu.testers.synthetic import random_states
+
+    text = synthetic_mechanism(n_species=9, n_reactions=24, seed=7)
+    lines = text.splitlines()
+    # zero the main-line A of the reaction carrying PLOG aux cards
+    first_plog = next(k for k, ln in enumerate(lines) if 'PLOG' in ln)
+    main = next(k for k in range(first_plog - 1, -1, -1)
+                if '<=>' in lines[k])
+    lines[main] = re.sub(r'\d\.\d+E\+\d+', '0.000E+00', lines[main],
+                        count=1)
+    path = tmp_path / 'm.inp'
+    path.write_text('\n'.join(lines))
+    mech = Mechanism.from_files(str(path))
+    packed = pack(mech)
+    assert packed.has_plog and packed.has_negative_A
+    plog_rows = np.asarray(packed.plog_idx)
+    assert (np.asarray(packed.A_sign)[plog_rows] == 0.0).any()
+
+    y, T, P = random_states(mech, 16, seed=3)
+    Tj, Pj = jnp.asarray(T), jnp.asarray(P)
+    _, _, _, conc = thermo.eval_conc(packed, Tj, Pj, jnp.asarray(y[:, 1:]))
+    fwd_lin, rev_lin = rates.eval_rxn_rates(packed, Tj, Pj, conc)
+    fwd_log, rev_log = rates.eval_rxn_rates_log(packed, Tj, Pj, conc)
+    assert np.asarray(fwd_lin)[:, plog_rows].all(), 'PLOG rows inactive'
+    np.testing.assert_allclose(np.asarray(fwd_log), np.asarray(fwd_lin),
+                               rtol=1e-8, atol=1e-300)
+    np.testing.assert_allclose(np.asarray(rev_log), np.asarray(rev_lin),
+                               rtol=1e-8, atol=1e-300)
+
+
 def test_zero_pre_exponential_factor(tmp_path):
     """A = 0 packs as a dead reaction (sign 0) with finite derivatives
     instead of raising (reference emits the zero textually,
