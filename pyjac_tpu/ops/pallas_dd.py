@@ -104,7 +104,8 @@ def _dd_entries(name, dd: DDA, consts):
     consts['%s_lo' % name] = np.asarray(dd.lo, np.float32)
 
 
-def _consts_dd(packed, conp=True, n_dyn=8, ext_gather=False):
+def _consts_dd(packed, conp=True, n_dyn=8, ext_gather=False,
+               log_rates=False):
     """Constant tensors (numpy) + static meta for the dd kernel.
 
     Layout mirrors pallas_jacobian._consts: per-reaction values (R, 1),
@@ -199,13 +200,19 @@ def _consts_dd(packed, conp=True, n_dyn=8, ext_gather=False):
     # per-slot species indices as f32 (R, 1): the column loop builds
     # its masks by direct comparison against the column index — no
     # (R, J) one-hot matrices needed at any mechanism size
+    def selfz(nu):
+        # integer nu >= 2: the d/dC value at C == 0 is exactly zero
+        return f32((nu >= 2.0) & (nu == np.round(nu)))[:, None]
+
     for i in range(Sf):
         consts['spf%d' % i] = f32(packed.reac_sp[:, i])[:, None]
         consts['last_f%d' % i] = lastf[i][:, None]
+        consts['selfz_f%d' % i] = selfz(np.asarray(packed.reac_nu[:, i]))
         _dd_entries('nu_f%d' % i, _ddc(col(packed.reac_nu[:, i])), consts)
     for i in range(Sp):
         consts['spp%d' % i] = f32(packed.prod_sp[:, i])[:, None]
         consts['last_p%d' % i] = lastp[i][:, None]
+        consts['selfz_p%d' % i] = selfz(np.asarray(packed.prod_nu[:, i]))
         _dd_entries('nu_p%d' % i, _ddc(col(packed.prod_nu[:, i])), consts)
     consts['ordf'] = None  # placeholder removed below
     del consts['ordf']
@@ -214,6 +221,14 @@ def _consts_dd(packed, conp=True, n_dyn=8, ext_gather=False):
 
     consts['rev_mask'] = f32(packed.rev_mask)[:, None]
     consts['A_sign'] = f32(packed.A_sign)[:, None]
+    # sign with PLOG/Chebyshev rows neutralised: those rows' ln kf is
+    # overwritten wholesale (mirrors eval_kf's sign-before-overwrite)
+    sign_eff = np.asarray(packed.A_sign, np.float64).copy()
+    if packed.has_plog:
+        sign_eff[np.asarray(packed.plog_idx)] = 1.0
+    if packed.has_cheb:
+        sign_eff[np.asarray(packed.cheb_idx)] = 1.0
+    consts['A_sign_eff'] = f32(sign_eff)[:, None]
 
     # --- pressure modification ---------------------------------------------
     if packed.has_pres_mod:
@@ -325,6 +340,7 @@ def _consts_dd(packed, conp=True, n_dyn=8, ext_gather=False):
               for i in range(Sp)]
     meta.update({
         'ext_gather': bool(ext_gather),
+        'log_rates': bool(log_rates),
         'frac_f': frac_f, 'frac_p': frac_p,
         'max_nu': packed.max_nu_int,
         'has_rev': packed.has_rev,
@@ -340,6 +356,156 @@ def _consts_dd(packed, conp=True, n_dyn=8, ext_gather=False):
         'has_cheb': packed.has_cheb,
     })
     return consts, meta
+
+
+def _sparse_col_pack(packed, meta, jb: int = 8):
+    """Per-column compressed reaction sets — the TPU-native ``touched``
+    structure (reference: create_jacobian.py:2641 tracks which (k, j)
+    pairs any reaction writes; :3301-3404 compresses work to it).
+
+    For each reduced-species column j, only the reactions whose
+    assembly operand P1[:, j] is structurally nonzero participate:
+    r touches j iff j is a reactant/product slot species, has a
+    non-default third-body efficiency, or is the reaction's specific
+    pressure-dependent species.  Measured |R_j| is ~25/325 at GRI scale
+    and ~16/2717 at n-heptane scale — the dense (R, B) per-column
+    contraction wastes a 10-100x factor this table recovers.
+
+    Returns a dict with, J_pad = ceil(J/jb)*jb rows, Rmax the padded
+    per-column reaction count (multiple of 8):
+
+    * ``ridx`` (J_pad, Rmax) int32 — participating reaction ids
+      (arbitrary on padding; ``valid`` masks them);
+    * ``idx_f``/``idx_p`` (J_pad, Rmax) int32 — row into the stacked
+      [vals_0; ...; vals_{S-1}; zero-row] forward/product value arrays
+      (slots are species-disjoint per reaction, so one row suffices);
+    * ``weff`` dd (J_pad, Rmax) — third-body efficiency coefficient
+      alpha_tilde[r, j] multiplying the gathered psi_q;
+    * ``wpd`` (J_pad, Rmax) f32 0/1 — specific-pdep indicator
+      multiplying the gathered xi_q;
+    * ``nuc`` (n_blocks, jb, N, Rmax) f32 — per-column slice-0 of the
+      compressed stoichiometric matrix nuT[:, ridx_j] (on the 2^-8
+      grid after ``nu_rs`` row scaling: exact for integer nu);
+    * ``deep_cols`` — columns whose compressed table has residual
+      beyond slice 0 (fractional nu): excluded from the fast path.
+    """
+    N, R, J = meta['N'], meta['R'], meta['J']
+    Sf, Sp = meta['Sf'], meta['Sp']
+    reac_sp = np.asarray(packed.reac_sp)
+    prod_sp = np.asarray(packed.prod_sp)
+    reac_nu = np.asarray(packed.reac_nu)
+    prod_nu = np.asarray(packed.prod_nu)
+
+    part = np.zeros((R, J), dtype=bool)
+    for s in range(Sf):
+        ok = (reac_nu[:, s] != 0) & (reac_sp[:, s] < J)
+        part[ok, reac_sp[ok, s]] = True
+    for s in range(Sp):
+        ok = (prod_nu[:, s] != 0) & (prod_sp[:, s] < J)
+        part[ok, prod_sp[ok, s]] = True
+    if meta['has_pres_mod']:
+        eff_red = np.asarray(packed.eff_m1[:, :J])
+        part |= eff_red != 0.0
+        pd = np.asarray(packed.pdep_sp_idx)
+        ok = (pd >= 0) & (pd < J)
+        part[ok, pd[ok]] = True
+
+    counts = part.sum(axis=0)
+    Rmax = max(8, int(-(-int(counts.max()) // 8) * 8))
+    n_blocks = -(-J // jb)
+    J_pad = n_blocks * jb
+
+    ridx = np.zeros((J_pad, Rmax), dtype=np.int32)
+    valid = np.zeros((J_pad, Rmax), dtype=bool)
+    for j in range(J):
+        rs = np.nonzero(part[:, j])[0]
+        ridx[j, :len(rs)] = rs
+        valid[j, :len(rs)] = True
+
+    ZF, ZP = Sf * R, Sp * R         # zero rows of the stacked arrays
+    idx_f = np.full((J_pad, Rmax), ZF, dtype=np.int32)
+    idx_p = np.full((J_pad, Rmax), ZP, dtype=np.int32)
+    weff = np.zeros((J_pad, Rmax), dtype=np.float64)
+    wpd = np.zeros((J_pad, Rmax), dtype=np.float32)
+    cols = np.arange(J_pad)[:, None]
+    for s in range(Sf):
+        hit = valid & (reac_sp[ridx, s] == cols) & (reac_nu[ridx, s] != 0)
+        idx_f = np.where(hit, s * R + ridx, idx_f)
+    for s in range(Sp):
+        hit = valid & (prod_sp[ridx, s] == cols) & (prod_nu[ridx, s] != 0)
+        idx_p = np.where(hit, s * R + ridx, idx_p)
+    if meta['has_pres_mod']:
+        # raw efficiency coefficient, exactly as _p1_col's slot
+        # accumulation: the 1/W_j factor is applied to the whole
+        # contracted column afterwards (w_j commutes through the
+        # linear nu-contraction), and the column-independent
+        # -eff_m1[:, N-1]/W_N term is hoisted into v_at
+        weff = np.where(valid,
+                        np.asarray(packed.eff_m1, np.float64)[
+                            ridx, np.minimum(cols, J - 1)],
+                        0.0)
+        wpd = np.where(valid & (np.asarray(packed.pdep_sp_idx)[ridx] ==
+                                cols), 1.0, 0.0).astype(np.float32)
+
+    # compressed stoichiometry from the global exact slicing (same
+    # row_scale; column subsets stay on the grid)
+    S = ddx.slice_static(np.asarray(packed.nu_net, np.float64).T, w=8)
+    # (J_pad, N, Rmax): 3-D only — streamed in (jb, N, Rmax) blocks by
+    # the column-block grid index exactly like the kernel's outputs
+    # (4-D constants hang this platform's Mosaic compile)
+    nuc = np.ascontiguousarray(
+        (S.slices[0][:, ridx] * valid[None, :, :]).transpose(1, 0, 2),
+        dtype=np.float32)
+    deep = np.zeros(J_pad, dtype=bool)
+    for p in range(1, S.n_slices):
+        if S.slices[p].any():
+            deep |= ((np.abs(S.slices[p][:, ridx]) *
+                      valid[None, :, :]).sum(axis=(0, 2)) != 0)
+
+    return dict(
+        Rmax=Rmax, J_pad=J_pad, n_blocks=n_blocks,
+        ridx=ridx, valid=valid, idx_f=idx_f, idx_p=idx_p,
+        weff=_ddc(weff), wpd=wpd, nuc=nuc,
+        nu_rs=np.asarray(S.row_scale, np.float32),
+        nu_max_l1=max(S.max_l1),
+        deep_cols=np.nonzero(deep[:J])[0],
+    )
+
+
+def _assemble_p1c(meta, SC, parts):
+    """XLA-side compressed assembly: gather the per-slot values at each
+    column's participating reactions -> P1c (J_pad, Rmax, B) dd.
+
+    The per-column masked accumulation of _p1_col collapses to four
+    static gathers (slots are species-disjoint, so a single stacked-
+    array row per column/reaction covers each of the forward and
+    product sides) plus the efficiency/pdep coefficient products.
+    """
+    def stack_z(vals):
+        return ddx.concat0(list(vals) + [
+            DDA(jnp.zeros_like(vals[0].hi[:1]),
+                jnp.zeros_like(vals[0].hi[:1]))])
+
+    def take(a, idx):
+        return DDA(jnp.take(a.hi, idx.reshape(-1), axis=0),
+                   jnp.take(a.lo, idx.reshape(-1), axis=0))
+
+    fstack = stack_z(parts['vals_f'])
+    pstack = stack_z(parts['vals_p'])
+    p1c = take(fstack, SC['idx_f']) - take(pstack, SC['idx_p'])
+    if meta['has_pres_mod']:
+        psi = take(parts['psi_q'], SC['ridx'] *
+                   jnp.asarray(SC['valid'], jnp.int32))
+        weff = DDA(jnp.asarray(SC['weff'].hi).reshape(-1, 1),
+                   jnp.asarray(SC['weff'].lo).reshape(-1, 1))
+        p1c = p1c + psi * weff
+        if meta['has_spec_pdep']:
+            xi = take(parts['xi_q'], SC['ridx'] *
+                      jnp.asarray(SC['valid'], jnp.int32))
+            p1c = p1c + _mask_mul(
+                xi, jnp.asarray(SC['wpd']).reshape(-1, 1))
+    B = p1c.hi.shape[-1]
+    return p1c.reshape(SC['J_pad'], SC['Rmax'], B)
 
 
 # ---------------------------------------------------------------------------
@@ -433,12 +599,19 @@ def _compute_dd(meta, C, y: DDA, P_in: DDA):
                 cell(t, 5) * invT * invT)('dsmh')
 
     # --- forward rate constants with log-derivatives ------------------------
-    kf = ddx.exp(_cdd(C, 'logA') + _cdd(C, 'beta') * logT -
-                 _cdd(C, 'Ta') * invT)
-    if meta['has_neg_A']:
+    # log_rates mode: rates and per-slot assembly values are single dd
+    # exponentials of ln kf (- ln Kc) + sum nu ln C — no kr = kf/Kc
+    # intermediate, whose magnitude is the f32-exponent-range ceiling
+    # of the linear pipeline (roadmap item 0; the reference's f64 C
+    # handles any physical kf/Kc magnitude, rate_subs.py:660-809).
+    log_rates = bool(meta.get('log_rates'))
+    lkf = (_cdd(C, 'logA') + _cdd(C, 'beta') * logT -
+           _cdd(C, 'Ta') * invT)
+    kf = None if log_rates else ddx.exp(lkf)
+    if meta['has_neg_A'] and not log_rates:
         kf = _mask_mul(kf, C['A_sign'])
     dlnkf_dT = (_cdd(C, 'beta') + _cdd(C, 'Ta') * invT) * invT
-    aP = ddx.zeros_like(kf)
+    aP = ddx.zeros_like(lkf)
 
     if meta['has_plog']:
         lnP = ddx.log(P)                                 # (1, B)
@@ -484,11 +657,16 @@ def _compute_dd(meta, C, y: DDA, P_in: DDA):
                           w_raw.hi)), w_raw))
         interior = ((~clip_lo) & (~clip_hi) & (w_raw.hi != 0.0) &
                     (~zden)).astype(jnp.float32)
-        kf_p = ddx.exp(lo_k + (hi_k - lo_k) * w)
+        lnkf_p = lo_k + (hi_k - lo_k) * w
         dlnkf_p = dlo + (dhi - dlo) * w
         aP_p = _mask_mul((hi_k - lo_k) / safe, interior)
         notp = _F1 - C['plog_mask']
-        kf = _mask_mul(kf, notp) + ddx.gather_dot(C['plog_scat'], kf_p)
+        if log_rates:
+            lkf = (_mask_mul(lkf, notp) +
+                   ddx.gather_dot(C['plog_scat'], lnkf_p))
+        else:
+            kf = (_mask_mul(kf, notp) +
+                  ddx.gather_dot(C['plog_scat'], ddx.exp(lnkf_p)))
         dlnkf_dT = (_mask_mul(dlnkf_dT, notp) +
                     ddx.gather_dot(C['plog_scat'], dlnkf_p))
         aP = aP + ddx.gather_dot(C['plog_scat'], aP_p)
@@ -521,26 +699,35 @@ def _compute_dd(meta, C, y: DDA, P_in: DDA):
                 lgk = lgk + a * (Tp[i] * Pp[j])
                 dlgk_dTred = dlgk_dTred + a * (dTp[i] * Pp[j])
                 dlgk_dPred = dlgk_dPred + a * (Tp[i] * dPp[j])
-        kf_c = ddx.exp(_LN10 * lgk)
+        lnkf_c = _LN10 * lgk
         dTred_dT = (-2.0 * invT * invT) * _cdd(C, 'cheb_itsub')
         dlnkf_c = _LN10 * dlgk_dTred * dTred_dT
         aP_c = dlgk_dPred * (2.0 * _cdd(C, 'cheb_ipsub'))
         notc = _F1 - C['cheb_mask']
-        kf = _mask_mul(kf, notc) + ddx.gather_dot(C['cheb_scat'], kf_c)
+        if log_rates:
+            lkf = (_mask_mul(lkf, notc) +
+                   ddx.gather_dot(C['cheb_scat'], lnkf_c))
+        else:
+            kf = (_mask_mul(kf, notc) +
+                  ddx.gather_dot(C['cheb_scat'], ddx.exp(lnkf_c)))
         dlnkf_dT = (_mask_mul(dlnkf_dT, notc) +
                     ddx.gather_dot(C['cheb_scat'], dlnkf_c))
         aP = aP + ddx.gather_dot(C['cheb_scat'], aP_c)
 
+    lnKc = None
     if meta['has_rev']:
         lnKc = (_mm(C, meta, 'nuR', smh) +
                 _cdd(C, 'sum_nu') * (_LN_PA_RU - logT))
-        kr = _mask_mul(kf * ddx.exp(-lnKc), C['rev_mask'])
+        if log_rates:
+            kr = None                # never materialised in log mode
+        else:
+            kr = _mask_mul(kf * ddx.exp(-lnKc), C['rev_mask'])
         dlnKc_dT = (_mm(C, meta, 'nuR', dsmh) -
                     _cdd(C, 'sum_nu') * invT)
         dlnkr_dT = dlnkf_dT - dlnKc_dT
     else:
-        kr = ddx.zeros_like(kf)
-        dlnkr_dT = ddx.zeros_like(kf)
+        kr = None if log_rates else ddx.zeros_like(kf)
+        dlnkr_dT = ddx.zeros_like(lkf)
 
     # --- slot concentration products and derivatives ------------------------
     def slot_products(prefix, S):
@@ -597,19 +784,76 @@ def _compute_dd(meta, C, y: DDA, P_in: DDA):
             dvals.append(nu_s * dpow * excl)
         return total, dvals
 
-    Pif, dPif = slot_products('f', Sf)
-    Pir, dPir = slot_products('p', Sp)
-    Rf = kf * Pif
-    Rr = kr * Pir
+    def slot_logs(prefix, S):
+        """ln C, exact-zero indicator and sum nu ln C over the slots.
+
+        Zero concentrations are floored inside the log (so every ln is
+        finite) and repaired with *exact* masks: a slot value whose
+        true linear product is exactly zero is forced to zero instead
+        of the floor-polluted exponential — matching the reference's
+        linear-space zeros bit-for-bit in structure."""
+        lcs, nzs = [], []
+        lsum = None
+        for si in range(S):
+            if meta.get('ext_gather'):
+                lc_s = _cdd(C, 'lc_%s%d' % (prefix, si))
+                z_s = C['zc_%s%d' % (prefix, si)]
+            else:
+                lc_s = ddx.gather_dot(C['G_%s%d' % (prefix, si)], lnc)
+                z_s = ddx.dot_split3(C['G_%s%d' % (prefix, si)], zind)
+            nu_s = _cdd(C, 'nu_%s%d' % (prefix, si))
+            nz = z_s * jnp.where(nu_s.hi != 0.0, _F1, np.float32(0.0))
+            term = nu_s * lc_s
+            lsum = term if lsum is None else lsum + term
+            lcs.append(lc_s)
+            nzs.append(nz)
+        nz_tot = nzs[0]
+        for z in nzs[1:]:
+            nz_tot = nz_tot + z
+        return lsum, lcs, nzs, nz_tot
+
+    if log_rates:
+        lnc = None
+        zind = None
+        if not meta.get('ext_gather'):
+            lnc = ddx.log(_tiny_floor(conc))
+            zind = (conc.hi <= 0.0).astype(jnp.float32)
+        lsum_f, lcs_f, nzs_f, nzf = slot_logs('f', Sf)
+        lsum_p, lcs_p, nzs_p, nzp = slot_logs('p', Sp)
+        asign = C['A_sign_eff'] if meta['has_neg_A'] else None
+        Rf = ddx.exp(lkf + lsum_f)
+        Rf = _mask_mul(Rf, (nzf < 0.5).astype(jnp.float32))
+        if asign is not None:
+            Rf = _mask_mul(Rf, asign)
+        if meta['has_rev']:
+            Rr = ddx.exp(lkf - lnKc + lsum_p)
+            Rr = _mask_mul(Rr, C['rev_mask'] *
+                           (nzp < 0.5).astype(jnp.float32))
+            if asign is not None:
+                Rr = _mask_mul(Rr, asign)
+        else:
+            Rr = ddx.zeros_like(Rf)
+    else:
+        Pif, dPif = slot_products('f', Sf)
+        Pir, dPir = slot_products('p', Sp)
+        Rf = kf * Pif
+        Rr = kr * Pir
     qnet = Rf - Rr
 
     # --- pressure modification ------------------------------------------------
-    one_R = ddx.wrap(jnp.ones_like(kf.hi))
+    if log_rates and meta['has_pres_mod']:
+        # the falloff machinery needs the high-pressure-limit rate
+        # constant itself; it is physically moderate (the range hazard
+        # is the kf/Kc ratio, never materialised in log mode)
+        kf = ddx.exp(lkf)
+        if meta['has_neg_A']:
+            kf = _mask_mul(kf, C['A_sign_eff'])
+    one_R = ddx.wrap(jnp.ones_like(lkf.hi))
     pm = one_R
-    dpm_dT = ddx.zeros_like(kf)
-    c_u_pm = ddx.zeros_like(kf)
-    psi = ddx.zeros_like(kf)
-    xi = ddx.zeros_like(kf)
+    dpm_dT = ddx.zeros_like(lkf)
+    c_u_pm = ddx.zeros_like(lkf)
+    psi = ddx.zeros_like(lkf)
+    xi = ddx.zeros_like(lkf)
     if meta['has_pres_mod']:
         m_tb = P * ddx.recip(_RU * T)                      # (1, B)
         if meta.get('ext_gather'):
@@ -769,11 +1013,42 @@ def _compute_dd(meta, C, y: DDA, P_in: DDA):
 
     # --- per-slot assembly values -------------------------------------------
     pmrho = pm * rho
-    vals_f = [pmrho * kf * dPif[s] for s in range(Sf)]
-    vals_p = [pmrho * kr * dPir[s] for s in range(Sp)]
+    if log_rates:
+        # kf*dPi[s] = nu_s * exp(ln kf (- ln Kc) + sum nu ln C - ln C_s)
+        # — range-safe whenever the finished value is (the kr ceiling
+        # is gone).  Exact-zero repair: zero when any OTHER slot's
+        # concentration is exactly zero, or this slot's is and its
+        # integer nu >= 2 (fractional nu keeps the floor, matching the
+        # linear path's floored pow).
+        def log_vals(sign_base, lsum, lcs, nzs, nz_tot, prefix, S,
+                     extra_mask=None):
+            out = []
+            for s in range(S):
+                nu_s = _cdd(C, 'nu_%s%d' % (prefix, s))
+                v = ddx.exp(sign_base + (lsum - lcs[s]))
+                others = nz_tot - nzs[s]
+                keep = (others < 0.5) & ((nzs[s] < 0.5) |
+                                         (C['selfz_%s%d' % (prefix, s)]
+                                          < 0.5))
+                v = _mask_mul(v, keep.astype(jnp.float32))
+                if asign is not None:
+                    v = _mask_mul(v, asign)
+                if extra_mask is not None:
+                    v = _mask_mul(v, extra_mask)
+                out.append(pmrho * nu_s * v)
+            return out
+
+        vals_f = log_vals(lkf, lsum_f, lcs_f, nzs_f, nzf, 'f', Sf)
+        vals_p = (log_vals(lkf - lnKc, lsum_p, lcs_p, nzs_p, nzp,
+                           'p', Sp, extra_mask=C['rev_mask'])
+                  if meta['has_rev'] else
+                  [ddx.zeros_like(Rf) for _ in range(Sp)])
+    else:
+        vals_f = [pmrho * kf * dPif[s] for s in range(Sf)]
+        vals_p = [pmrho * kr * dPir[s] for s in range(Sp)]
 
     wN = DDA(np.float32(meta['wN_hi']), np.float32(meta['wN_lo']))
-    c_1 = ddx.zeros_like(kf)
+    c_1 = ddx.zeros_like(lkf)
     for s in range(Sf):
         c_1 = c_1 - _mask_mul(vals_f[s], C['last_f%d' % s])
     for s in range(Sp):
@@ -834,11 +1109,14 @@ def _compute_dd(meta, C, y: DDA, P_in: DDA):
     col0 = ddx.concat0([JTT, JYT])                       # (N, B)
     f_out = ddx.concat0([fT, fkJ])
 
-    return dict(col0=col0, f_out=f_out, vals_f=vals_f, vals_p=vals_p,
-                psi_q=psi_q, xi_q=xi_q, v_u=v_u, v_1=v_1, mwJ=mwJ,
-                rho_inv=rho_inv, fkJ=fkJ, eWn=eWn,
-                ish=ish, cp=cp, mw_avg=mw_avg, fT=fT,
-                v_at=v_at, v_pd=v_pd)
+    out = dict(col0=col0, f_out=f_out, vals_f=vals_f, vals_p=vals_p,
+               psi_q=psi_q, xi_q=xi_q, v_u=v_u, v_1=v_1, mwJ=mwJ,
+               rho_inv=rho_inv, fkJ=fkJ, eWn=eWn,
+               ish=ish, cp=cp, mw_avg=mw_avg, fT=fT,
+               v_at=v_at, v_pd=v_pd)
+    if meta.get('debug_parts'):
+        out.update(Rf=Rf, Rr=Rr, pm=pm, pmrho=pmrho, qnet=qnet)
+    return out
 
 
 def _p1_col(meta, C, parts, colf) -> DDA:
@@ -957,7 +1235,7 @@ def _split64(x):
 
 
 def jacobian_dd_xla(packed, param, y, conp: bool = True,
-                    n_dyn: int = 8):
+                    n_dyn: int = 8, log_rates: bool = False):
     """(J, dydt) in f64 via double-float arithmetic under plain XLA.
 
     ``y``: (B, N) f64 batch-major states [T, Y_1..Y_{N-1}]; ``param``
@@ -972,7 +1250,8 @@ def jacobian_dd_xla(packed, param, y, conp: bool = True,
     if not jax.config.jax_enable_x64:
         raise RuntimeError('jacobian_dd_xla needs jax_enable_x64 for '
                            'its f64 output combination')
-    consts, meta = _consts_dd(packed, conp=conp, n_dyn=n_dyn)
+    consts, meta = _consts_dd(packed, conp=conp, n_dyn=n_dyn,
+                              log_rates=log_rates)
     C = {k: jnp.asarray(v) for k, v in consts.items()}
     N, J = meta['N'], meta['J']
 
@@ -1018,6 +1297,71 @@ def jacobian_dd_xla(packed, param, y, conp: bool = True,
     return Jmat, fvec
 
 
+def _sparse_col_contract(meta, SC, p1c_j: DDA, nuc_j, n_dyn=None):
+    """Compressed per-column contraction: (N, Rmax) slice-0 static
+    operand against the gathered (Rmax, B) dd assembly values."""
+    if n_dyn is None:
+        n_dyn = meta.get('n_dyn', 8)
+    return ddx.matmul_sliced_parts(
+        [nuc_j], SC['nu_rs'], 8, SC['nu_max_l1'], p1c_j,
+        w_dyn=7, n_dyn=n_dyn, bits=7 * n_dyn + 16)
+
+
+def jacobian_dd_xla_sparse(packed, param, y, conp: bool = True,
+                           n_dyn: int = 8, log_rates: bool = False):
+    """(J, dydt) like :func:`jacobian_dd_xla`, but assembling the
+    species block through the compressed per-column reaction sets
+    (``_sparse_col_pack``) instead of dense (R, B) columns.
+
+    Same math, exact same slice grids — agrees with the dense dd path
+    to the final dd rounding.  This is the CPU-testable reference for
+    the sparse Pallas kernel, and the fallback used for ``deep``
+    (fractional-nu) columns.
+    """
+    if not jax.config.jax_enable_x64:
+        raise RuntimeError('jacobian_dd_xla_sparse needs jax_enable_x64')
+    consts, meta = _consts_dd(packed, conp=conp, n_dyn=n_dyn,
+                              log_rates=log_rates)
+    C = {k: jnp.asarray(v) for k, v in consts.items()}
+    N, J = meta['N'], meta['J']
+    SC = _sparse_col_pack(packed, meta)
+
+    y_hi, y_lo = _split64(jnp.asarray(y).T)
+    p_hi, p_lo = _split64(jnp.reshape(jnp.broadcast_to(
+        jnp.asarray(param, jnp.float64), jnp.asarray(y).shape[:-1]),
+        (1, -1)))
+    parts = _compute_dd(meta, C, DDA(y_hi, y_lo), DDA(p_hi, p_lo))
+    p1c = _assemble_p1c(meta, SC, parts)                 # (J_pad, Rmax, B)
+
+    u_vec = _cdd(C, 'u_vec')
+    winv = _cdd(C, 'winv')
+    cp = parts['cp']
+    nuc = jnp.asarray(SC['nuc']).reshape(SC['J_pad'], N, SC['Rmax'])
+    deep = set(int(d) for d in SC['deep_cols'])
+
+    cols_hi, cols_lo = [parts['col0'].hi[None]], [parts['col0'].lo[None]]
+    for j in range(J):
+        w_j = DDA(winv.hi[0:1, j:j + 1], winv.lo[0:1, j:j + 1])
+        u_j = DDA(u_vec.hi[0:1, j:j + 1], u_vec.lo[0:1, j:j + 1])
+        cp_j = DDA(cp.hi[j:j + 1], cp.lo[j:j + 1])
+        if j in deep:
+            c = _column_dd(meta, C, parts, np.float32(j), w_j, u_j,
+                           cp_j)
+        else:
+            pj = DDA(p1c.hi[j], p1c.lo[j])
+            dcol = _sparse_col_contract(meta, SC, pj, nuc[j]) * w_j
+            c = _post_col(meta, C, parts, dcol, u_j, cp_j)
+        cols_hi.append(c.hi[None])
+        cols_lo.append(c.lo[None])
+    J_hi = jnp.concatenate(cols_hi, axis=0)
+    J_lo = jnp.concatenate(cols_lo, axis=0)
+    Jmat = (jnp.transpose(J_hi, (2, 1, 0)).astype(jnp.float64) +
+            jnp.transpose(J_lo, (2, 1, 0)).astype(jnp.float64))
+    fvec = (parts['f_out'].hi.T.astype(jnp.float64) +
+            parts['f_out'].lo.T.astype(jnp.float64))
+    return Jmat, fvec
+
+
 # ---------------------------------------------------------------------------
 # Pallas kernel
 # ---------------------------------------------------------------------------
@@ -1042,6 +1386,7 @@ def _kernel_dd(meta, names, *refs):
     cpl_scr[...] = parts['cp'].lo
 
     G = meta.get('col_group', 8)
+    J_loop = meta.get('j_limit') or J    # timing-probe knob only
 
     def spec_for(j):
         colf = (jnp.int32(j) * 1).astype(jnp.float32) \
@@ -1059,7 +1404,7 @@ def _kernel_dd(meta, names, *refs):
             Jl_ref[pl.ds(b * G + g + 1, 1)] = c.lo[None]
         return _
 
-    n_full = J // G
+    n_full = J_loop // G
     if meta.get('unroll_cols'):
         # interpret mode runs under XLA, whose loop-context rewrites
         # break dd chains (see jacobian_dd_xla) — unroll there
@@ -1093,7 +1438,8 @@ class PallasDDJacobian:
     """
 
     def __init__(self, packed, block_b: int = 0, interpret: bool = False,
-                 conp: bool = True, n_dyn: int = 8, col_group: int = 1):
+                 conp: bool = True, n_dyn: int = 8, col_group: int = 1,
+                 log_rates: bool = False):
         if not supports(packed):
             raise NotImplementedError(
                 'mechanism outside Pallas coverage: use jacobian_dd_xla')
@@ -1109,7 +1455,8 @@ class PallasDDJacobian:
         self.block_b = block_b
         self.interpret = interpret
         self.consts, self.meta = _consts_dd(packed, conp=conp,
-                                            n_dyn=n_dyn)
+                                            n_dyn=n_dyn,
+                                            log_rates=log_rates)
         self.meta['unroll_cols'] = bool(interpret)
         self.meta['col_group'] = int(col_group)
         self.names = list(self.consts.keys())
@@ -1200,13 +1547,23 @@ class PallasDDJacobian:
 
 # per-tile parts streamed from the XLA stage into the column kernel,
 # (name, kind) with kind selecting the block shape
-def _parts_stream_spec(meta):
-    spec = [('vals_f%d' % s, 'R') for s in range(meta['Sf'])]
-    spec += [('vals_p%d' % s, 'R') for s in range(meta['Sp'])]
+def _parts_stream_spec(meta, sparse: bool = False):
+    if sparse:
+        # the per-reaction values are pre-gathered into the compressed
+        # per-column assembly operand; only the (batch-tile, col-block)
+        # -indexed P1c plus the column-finishing parts stream in
+        spec = [('p1c', 'P1C')]
+    else:
+        spec = [('vals_f%d' % s, 'R') for s in range(meta['Sf'])]
+        spec += [('vals_p%d' % s, 'R') for s in range(meta['Sp'])]
+        if meta['has_pres_mod']:
+            spec += [('psi_q', 'R')]
+            if meta['has_spec_pdep']:
+                spec += [('xi_q', 'R')]
     if meta['has_pres_mod']:
-        spec += [('psi_q', 'R'), ('v_at', 'N')]
+        spec += [('v_at', 'N')]
         if meta['has_spec_pdep']:
-            spec += [('xi_q', 'R'), ('v_pd', 'N')]
+            spec += [('v_pd', 'N')]
     spec += [('v_u', 'N'), ('v_1', 'N'), ('eWn', 'N'), ('cp', 'N')]
     spec += [('fkJ', 'J')]
     spec += [('rho_inv', '1'), ('ish', '1'),
@@ -1274,6 +1631,57 @@ def _kernel_dd_cols(meta, names, *refs):
         Jl_ref[i:i + 1] = c_val.lo[None]
 
 
+def _kernel_dd_cols_sparse(meta, names, SCmeta, *refs):
+    """Sparse column kernel: each grid step contracts ``jb`` compressed
+    (Rmax, B) assembly blocks against their static per-column
+    stoichiometric tables — O(|R_j|) work per column instead of O(R)
+    (the reference's generated code also only touches the species in
+    each reaction, create_jacobian.py:2650-2938)."""
+    nc = len(names)
+    cref = {nm: refs[i] for i, nm in enumerate(names)}
+    smem = ('u_vec_hi', 'u_vec_lo', 'winv_hi', 'winv_lo')
+    C = {nm: cref[nm][...] for nm in names if nm not in smem}
+
+    stream = _parts_stream_spec(meta, sparse=True)
+    n_stream = 2 * len(stream)
+    ins = refs[nc:nc + n_stream]
+    nuc_ref = refs[nc + n_stream]
+    Jh_ref, Jl_ref = refs[nc + n_stream + 1:nc + n_stream + 3]
+
+    parts = {}
+    p1h_ref = p1l_ref = None
+    for idx, (name, _) in enumerate(stream):
+        if name == 'p1c':
+            p1h_ref, p1l_ref = ins[2 * idx], ins[2 * idx + 1]
+        else:
+            parts[name] = DDA(ins[2 * idx][...], ins[2 * idx + 1][...])
+    parts['mwJ'] = DDA(C['mw_col_hi'][0:meta['J']],
+                       C['mw_col_lo'][0:meta['J']])
+    cp_idx = [idx for idx, (nm, _) in enumerate(stream)
+              if nm == 'cp'][0]
+    cph_ref, cpl_ref = ins[2 * cp_idx], ins[2 * cp_idx + 1]
+
+    J = meta['J']
+    jb = meta['jb']
+    k = pl.program_id(1)
+
+    for g in range(jb):
+        c = k * jnp.int32(jb) + jnp.int32(g)
+        j = jnp.clip(c, jnp.int32(0), jnp.int32(J - 1))
+        w_j = DDA(cref['winv_hi'][0, j], cref['winv_lo'][0, j])
+        u_j = DDA(cref['u_vec_hi'][0, j], cref['u_vec_lo'][0, j])
+        cp_j = DDA(cph_ref[pl.ds(j, 1), :], cpl_ref[pl.ds(j, 1), :])
+        p1 = DDA(p1h_ref[g], p1l_ref[g])                 # (Rmax, B)
+        nuc_g = nuc_ref[g]                               # (N, Rmax)
+        dcol = ddx.matmul_sliced_parts(
+            [nuc_g], C['nu_rs'], 8, SCmeta['nu_max_l1'], p1,
+            w_dyn=7, n_dyn=meta.get('n_dyn', 8),
+            bits=7 * meta.get('n_dyn', 8) + 16) * w_j
+        out = _post_col(meta, C, parts, dcol, u_j, cp_j)
+        Jh_ref[g:g + 1] = out.hi[None]
+        Jl_ref[g:g + 1] = out.lo[None]
+
+
 class PallasDDJacobianBig:
     """f64-grade fused Jacobian + dy/dt for large mechanisms
     (n-heptane class, 654 species / 2716 reactions).
@@ -1300,38 +1708,55 @@ class PallasDDJacobianBig:
 
     def __init__(self, packed, block_b: int = 128, jb: int = 16,
                  interpret: bool = False, conp: bool = True,
-                 n_dyn: int = 8):
+                 n_dyn: int = 8, sparse_cols: bool = False,
+                 log_rates: bool = False):
         self.packed = packed
         self.block_b = block_b
         self.jb = jb
         self.interpret = interpret
+        self.sparse_cols = bool(sparse_cols)
         self.consts, self.meta = _consts_dd(packed, conp=conp,
-                                            n_dyn=n_dyn, ext_gather=True)
+                                            n_dyn=n_dyn, ext_gather=True,
+                                            log_rates=log_rates)
         meta = self.meta
         meta['jb'] = jb
         N, R, J = meta['N'], meta['R'], meta['J']
         Sf, Sp = meta['Sf'], meta['Sp']
+        SC = _sparse_col_pack(packed, meta, jb=jb) if sparse_cols else None
+        self.SC = SC
         # the kernel only needs the column-loop constants; drop the
         # parts-stage tables from its argument list
-        drop = [nm for nm in self.consts
-                if nm.startswith(('cp_', 'h_', 'smh_', 'dsmh_', 'dcp_',
-                                  'nuR_', 'invw_', 'logA', 'beta', 'Ta',
-                                  'sum_nu', 'T_mid', 'plog', 'cheb',
-                                  'low_', 'high_', 'troe', 'sri',
-                                  'rev_mask', 'A_sign', 'inv_mw_col',
-                                  'thd_mask', 'fall_mask', 'chem_mask',
-                                  'pdep_mask', 'spec_mask', 'nu_f',
-                                  'nu_p', 'ordf', 'ordr', 'last_f',
-                                  'last_p'))]
+        drop_pre = ('cp_', 'h_', 'smh_', 'dsmh_', 'dcp_',
+                    'nuR_', 'invw_', 'logA', 'beta', 'Ta',
+                    'sum_nu', 'T_mid', 'plog', 'cheb',
+                    'low_', 'high_', 'troe', 'sri',
+                    'rev_mask', 'A_sign', 'inv_mw_col',
+                    'thd_mask', 'fall_mask', 'chem_mask',
+                    'pdep_mask', 'spec_mask', 'nu_f',
+                    'nu_p', 'ordf', 'ordr', 'last_f',
+                    'last_p')
+        if sparse_cols:
+            # the compressed tables replace every per-reaction constant
+            drop_pre = drop_pre + ('nuT_', 'spf', 'spp', 'effidx',
+                                   'effval', 'pdidxf', 'at_last',
+                                   'pd_last', 'effm1_')
+        drop = [nm for nm in self.consts if nm.startswith(drop_pre)]
         self.kconsts = {nm: v for nm, v in self.consts.items()
                         if nm not in drop}
+        if sparse_cols:
+            self.kconsts['nu_rs'] = SC['nu_rs']
         self.names = list(self.kconsts.keys())
         smem = ('u_vec_hi', 'u_vec_lo', 'winv_hi', 'winv_lo')
 
-        n_jb = -(-J // jb)
+        n_jb = SC['n_blocks'] if sparse_cols else -(-J // jb)
         self.n_cols_pad = n_jb * jb
-        kern = functools.partial(_kernel_dd_cols, meta, self.names)
-        stream = _parts_stream_spec(meta)
+        if sparse_cols:
+            kern = functools.partial(_kernel_dd_cols_sparse, meta,
+                                     self.names,
+                                     {'nu_max_l1': SC['nu_max_l1']})
+        else:
+            kern = functools.partial(_kernel_dd_cols, meta, self.names)
+        stream = _parts_stream_spec(meta, sparse=sparse_cols)
 
         # XLA-side dd stage: gathers + full parts
         inv_mw_col = ddx.const(np.asarray(packed.inv_mw)[:, None])
@@ -1368,6 +1793,19 @@ class PallasDDJacobianBig:
             for s in range(Sp):
                 cg = take(prod_sp[:, s])
                 C2['cg_p%d_hi' % s], C2['cg_p%d_lo' % s] = cg.hi, cg.lo
+            if meta['log_rates']:
+                lnc = ddx.log(_tiny_floor(conc))
+                zc = (conc.hi <= 0.0).astype(jnp.float32)
+                for pre, sp_tab, S_n in (('f', reac_sp, Sf),
+                                         ('p', prod_sp, Sp)):
+                    for s in range(S_n):
+                        idx = sp_tab[:, s]
+                        C2['lc_%s%d_hi' % (pre, s)] = jnp.take(
+                            lnc.hi, idx, axis=0)
+                        C2['lc_%s%d_lo' % (pre, s)] = jnp.take(
+                            lnc.lo, idx, axis=0)
+                        C2['zc_%s%d' % (pre, s)] = jnp.take(
+                            zc, idx, axis=0)
             if meta['has_pres_mod']:
                 effc = ddx.matmul_sliced(eff_sliced, conc)
                 C2['effc_hi'], C2['effc_lo'] = effc.hi, effc.lo
@@ -1375,6 +1813,8 @@ class PallasDDJacobianBig:
                     cpd = take(pd_idx)
                     C2['cpd_hi'], C2['cpd_lo'] = cpd.hi, cpd.lo
             parts = _compute_dd(meta, C2, ydd, pdd)
+            if self.sparse_cols:
+                parts['p1c'] = _assemble_p1c(meta, SC, parts)
             out = []
             for name, _ in stream:
                 if name.startswith('vals_f'):
@@ -1384,14 +1824,33 @@ class PallasDDJacobianBig:
                 else:
                     v = parts[name]
                 out += [v.hi, v.lo]
-            return out, parts['col0'], parts['f_out']
+            # fractional-nu ("deep") columns: beyond the slice-0 table
+            # the fast path streams — computed here on the dense path
+            # (a handful of columns at most; zero in real mechanisms)
+            deep_cols = None
+            if self.sparse_cols and len(SC['deep_cols']):
+                u_vec = _cdd(Call, 'u_vec')
+                winv = _cdd(Call, 'winv')
+                specs = []
+                for j in (int(d) for d in SC['deep_cols']):
+                    specs.append((np.float32(j),
+                                  DDA(winv.hi[0:1, j:j + 1],
+                                      winv.lo[0:1, j:j + 1]),
+                                  DDA(u_vec.hi[0:1, j:j + 1],
+                                      u_vec.lo[0:1, j:j + 1]),
+                                  DDA(parts['cp'].hi[j:j + 1],
+                                      parts['cp'].lo[j:j + 1])))
+                deep_cols = ddx.concat0(
+                    [c.reshape(1, N, -1) for c in _column_block_dd(
+                        meta, Call, parts, specs)])
+            return out, parts['col0'], parts['f_out'], deep_cols
 
         def call_tr(yh, yl, ph, plo):
             B = yh.shape[-1]
             grid = (B // block_b, n_jb)
             with df.barrier_mode('xla'):
-                stream_vals, col0, f_out = xla_stage(DDA(yh, yl),
-                                                     DDA(ph, plo))
+                stream_vals, col0, f_out, deep_vals = xla_stage(
+                    DDA(yh, yl), DDA(ph, plo))
 
             const_specs = [
                 pl.BlockSpec(self.kconsts[nm].shape,
@@ -1404,9 +1863,24 @@ class PallasDDJacobianBig:
                 (rows, block_b), lambda i, kk: (i * 0, i),
                 memory_space=pltpu.VMEM)
             shp = {'R': R, 'N': N, 'J': J, '1': 1}
-            in_specs = const_specs + [bspec(shp[kind])
-                                      for _, kind in stream
-                                      for _2 in (0, 1)]
+            in_specs = []
+            for _, kind in stream:
+                if kind == 'P1C':
+                    in_specs += [pl.BlockSpec(
+                        (jb, SC['Rmax'], block_b),
+                        lambda i, kk: (kk, i * 0, i),
+                        memory_space=pltpu.VMEM)] * 2
+                else:
+                    in_specs += [bspec(shp[kind])] * 2
+            in_specs = const_specs + in_specs
+            extra_args, extra_specs = [], []
+            if self.sparse_cols:
+                extra_args = [jnp.asarray(SC['nuc'])]
+                extra_specs = [pl.BlockSpec(
+                    (jb, N, SC['Rmax']),
+                    lambda i, kk: (kk, i * 0, i * 0),
+                    memory_space=pltpu.VMEM)]
+            in_specs = in_specs + extra_specs
             out_specs = [
                 pl.BlockSpec((jb, N, block_b),
                              lambda i, kk: (kk, i * 0, i),
@@ -1429,7 +1903,11 @@ class PallasDDJacobianBig:
                     compiler_params=pltpu.CompilerParams(
                         vmem_limit_bytes=110 * 1024 * 1024,
                         dimension_semantics=('arbitrary', 'arbitrary')),
-                )(*args, *stream_vals)
+                )(*args, *stream_vals, *extra_args)
+            if deep_vals is not None:
+                di = jnp.asarray(np.asarray(SC['deep_cols'], np.int32))
+                Jh = Jh.at[di].set(deep_vals.hi.reshape(len(di), N, B))
+                Jl = Jl.at[di].set(deep_vals.lo.reshape(len(di), N, B))
             return Jh, Jl, col0.hi, col0.lo, f_out.hi, f_out.lo
 
         self.call_tr = jax.jit(call_tr)

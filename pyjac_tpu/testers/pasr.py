@@ -251,10 +251,22 @@ def run_simulation(mech: Mechanism, case: str, init_temp: float,
                    num_part: int = 100, tau_res: float = 10e-3,
                    tau_mix: float = 1e-3, tau_pair: float = 1e-3,
                    num_res: int = 10, seed: Optional[int] = None,
-                   verbose: bool = True) -> np.ndarray:
+                   verbose: bool = True,
+                   inlet_X: Optional[np.ndarray] = None,
+                   pilot: Optional[tuple] = None) -> np.ndarray:
     """Run a PaSR simulation; returns particle data
     [steps, particles, 3 + NSP] of (time, T, P, Y original order)
-    (reference :745-948)."""
+    (reference :745-948).
+
+    ``inlet_X``: reactant mole fractions given directly (original
+    species order), bypassing the equivalence-ratio calculation — for
+    mechanisms without literal O2/fuel species (e.g. the synthetic
+    flagship benchmark mechanism).
+
+    ``pilot``: (T, Y) for the pilot stream, overriding the HP
+    equilibration (whose 1-second integration can run away on
+    synthetic random-thermo mechanisms).
+    """
     packed = pack(mech) if not isinstance(mech, PackedMechanism) else mech
     if isinstance(mech, PackedMechanism):
         mech = mech.mech
@@ -269,7 +281,12 @@ def run_simulation(mech: Mechanism, case: str, init_temp: float,
     time_end = num_res * tau_res
 
     # --- inlet streams (compositions as [h, T, Y...] rows) ----------------
-    X_react = equivalence_ratio_reactants(mech, eq_ratio, fuel, oxidizer)
+    if inlet_X is None:
+        X_react = equivalence_ratio_reactants(mech, eq_ratio, fuel,
+                                              oxidizer)
+    else:
+        X_react = np.asarray(inlet_X, np.float64)
+        X_react = X_react / X_react.sum()
     Y_react = mole_to_mass_fracs(packed, X_react)
 
     def stream(T, Y, flow):
@@ -297,9 +314,12 @@ def run_simulation(mech: Mechanism, case: str, init_temp: float,
     else:
         raise ValueError("case must be 'premixed' or 'non-premixed'")
 
-    if verbose:
-        print('equilibrating pilot stream (HP)...')
-    T_pilot, Y_pilot = equilibrate_hp(packed, init_temp, P_pa, Y_react)
+    if pilot is not None:
+        T_pilot, Y_pilot = float(pilot[0]), np.asarray(pilot[1], float)
+    else:
+        if verbose:
+            print('equilibrating pilot stream (HP)...')
+        T_pilot, Y_pilot = equilibrate_hp(packed, init_temp, P_pa, Y_react)
     streams.append(stream(T_pilot, Y_pilot,
                           0.05 if case.lower() == 'premixed' else 0.10))
     if verbose:

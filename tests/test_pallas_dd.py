@@ -165,3 +165,150 @@ def test_big_kernel_traces_any_size(tmp_path):
     out = jax.eval_shape(big.call_tr, sh, sh, sp, sp)
     assert out[0].shape == (big.n_cols_pad, N, B)
     assert out[2].shape == (N, B)
+
+
+# ---------------------------------------------------------------------------
+# round 3: compressed per-column ("touched") assembly + log-space rates
+# ---------------------------------------------------------------------------
+
+def _states_for(mech, n=8, **kw):
+    from pyjac_tpu.testers.synthetic import random_states
+    y, _, P = random_states(mech, n, **kw)
+    return y.astype(np.float64), P.astype(np.float64)
+
+
+def _synth_packed(tmp_path, name='m.inp', **kw):
+    from pyjac_tpu.testers.synthetic import synthetic_mechanism
+    path = tmp_path / name
+    path.write_text(synthetic_mechanism(**kw))
+    mech = Mechanism.from_files(str(path))
+    return mech, pack(mech)
+
+
+def test_sparse_columns_bit_identical(tmp_path):
+    """The compressed per-column assembly (the reference's touched[]
+    structure, create_jacobian.py:2641/3301-3404) contracts only the
+    reactions participating in each column; on the same slice grids it
+    must agree with the dense dd path to the last bit."""
+    from pyjac_tpu.ops.pallas_dd import jacobian_dd_xla_sparse
+
+    mech, packed = _synth_packed(tmp_path, n_species=9, n_reactions=24,
+                                 seed=7)
+    y, P = _states_for(mech)
+    Jd, fd = jacobian_dd_xla(packed, P, y)
+    Js, fs = jacobian_dd_xla_sparse(packed, P, y)
+    assert np.array_equal(np.asarray(Jd), np.asarray(Js))
+    assert np.array_equal(np.asarray(fd), np.asarray(fs))
+
+
+def test_sparse_columns_conv_bit_identical(tmp_path):
+    from pyjac_tpu.ops import thermo
+    from pyjac_tpu.ops.pallas_dd import jacobian_dd_xla_sparse
+
+    mech, packed = _synth_packed(tmp_path, n_species=9, n_reactions=24,
+                                 seed=7)
+    y, P = _states_for(mech)
+    _, _, rho, _ = thermo.eval_conc(packed, jnp.asarray(y[:, 0]),
+                                    jnp.asarray(P),
+                                    jnp.asarray(y[:, 1:]))
+    rho = np.asarray(rho)
+    Jd, _ = jacobian_dd_xla(packed, rho, y, conp=False)
+    Js, _ = jacobian_dd_xla_sparse(packed, rho, y, conp=False)
+    assert np.array_equal(np.asarray(Jd), np.asarray(Js))
+
+
+def test_sparse_col_pack_structure(tmp_path):
+    """Compression bookkeeping: every (reaction, column) participation
+    is covered, padding is masked, Rmax is the padded max."""
+    from pyjac_tpu.ops.pallas_dd import _consts_dd, _sparse_col_pack
+
+    mech, packed = _synth_packed(tmp_path, n_species=9, n_reactions=24,
+                                 seed=7)
+    _, meta = _consts_dd(packed)
+    SC = _sparse_col_pack(packed, meta, jb=4)
+    J = meta['J']
+    assert SC['nuc'].shape == (SC['J_pad'], meta['N'], SC['Rmax'])
+    # padded nuc columns are exactly zero
+    nuc = SC['nuc'].reshape(SC['J_pad'], meta['N'], SC['Rmax'])
+    pad = ~SC['valid']
+    assert (np.abs(nuc.transpose(0, 2, 1)[pad]) == 0).all()
+    # every nu_net nonzero in a reduced column appears in its set
+    nu = np.asarray(packed.nu_net)
+    for j in range(J):
+        touching = set(np.nonzero(nu[:, j])[0].tolist())
+        have = set(SC['ridx'][j][SC['valid'][j]].tolist())
+        assert touching <= have
+
+
+def test_log_rates_xla_matches_linear(tmp_path):
+    """Log-space dd rates (single exponential of ln kf (- ln Kc) +
+    sum nu ln C; reference math rate_subs.py:660-809) agree with the
+    linear-space dd path within dd roundoff, including the exact-zero
+    structure for zero concentrations (sub-f32-floor entries exempt)."""
+    mech, packed = _synth_packed(tmp_path, n_species=9, n_reactions=24,
+                                 seed=7)
+    y, P = _states_for(mech, 16)
+    # force exact zero concentrations in a few states
+    y[:4, 3] = 0.0
+    y[:2, 5] = 0.0
+    Jd, fd = jacobian_dd_xla(packed, P, y)
+    Jl, fl = jacobian_dd_xla(packed, P, y, log_rates=True)
+    Jd, Jl = np.asarray(Jd), np.asarray(Jl)
+    scale = np.abs(Jd).max()
+    assert np.abs(Jl - Jd).max() / scale < 1e-11
+    m = np.abs(Jd) > 1e-11 * scale
+    assert np.abs((Jl - Jd)[m] / Jd[m]).max() < 1e-9
+    # zero structure: may differ only where the linear value is below
+    # the dd pipeline's f32 range floor relative to the matrix scale
+    zd, zl = Jd == 0.0, Jl == 0.0
+    mism = zd != zl
+    assert (np.abs(Jd[mism]) / scale < 1e-20).all()
+    fscale = np.abs(np.asarray(fd)).max()
+    assert np.abs(np.asarray(fl) - np.asarray(fd)).max() / fscale < 1e-9
+
+
+def test_log_rates_plog_placeholder_sign(tmp_path):
+    """A PLOG row with a zero placeholder main Arrhenius line keeps its
+    full rate through the kernel log path (A_sign_eff neutralisation,
+    mirroring eval_kf's sign-before-overwrite ordering)."""
+    import re
+
+    from pyjac_tpu.testers.synthetic import synthetic_mechanism
+    text = synthetic_mechanism(n_species=9, n_reactions=24, seed=7)
+    lines = text.splitlines()
+    first_plog = next(k for k, ln in enumerate(lines) if 'PLOG' in ln)
+    main = next(k for k in range(first_plog - 1, -1, -1)
+                if '<=>' in lines[k])
+    lines[main] = re.sub(r'\d\.\d+E\+\d+', '0.000E+00', lines[main],
+                         count=1)
+    path = tmp_path / 'z.inp'
+    path.write_text('\n'.join(lines))
+    mech = Mechanism.from_files(str(path))
+    packed = pack(mech)
+    assert packed.has_plog and packed.has_negative_A
+    y, P = _states_for(mech)
+    Jd, _ = jacobian_dd_xla(packed, P, y)
+    Jl, _ = jacobian_dd_xla(packed, P, y, log_rates=True)
+    scale = np.abs(np.asarray(Jd)).max()
+    assert np.abs(np.asarray(Jl) - np.asarray(Jd)).max() / scale < 1e-11
+
+
+def test_big_kernel_sparse_traces(tmp_path):
+    """Sparse-column Big kernel builds and traces; numerics validated
+    on-chip (interpret mode is impractically slow) and bit-exactly on
+    CPU via jacobian_dd_xla_sparse."""
+    import jax
+
+    from pyjac_tpu.ops.pallas_dd import PallasDDJacobianBig
+
+    mech, packed = _synth_packed(tmp_path, n_species=21, n_reactions=60,
+                                 seed=11, gri_mix=True)
+    big = PallasDDJacobianBig(packed, block_b=128, jb=8,
+                              sparse_cols=True)
+    assert big.SC['Rmax'] <= 48
+    N = packed.n_species
+    B = 128
+    sh = jax.ShapeDtypeStruct((N, B), jnp.float32)
+    sp = jax.ShapeDtypeStruct((1, B), jnp.float32)
+    out = jax.eval_shape(big.call_tr, sh, sh, sp, sp)
+    assert out[0].shape == (big.n_cols_pad, N, B)
