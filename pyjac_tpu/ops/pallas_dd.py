@@ -472,6 +472,87 @@ def _sparse_col_pack(packed, meta, jb: int = 8):
     )
 
 
+def _sparse_col_pack_expanded(packed, meta, jb: int = 8):
+    """Expanded compressed-column tables: one gather, zero arithmetic.
+
+    Each (column, participating-reaction) pair expands into one row per
+    *role* (forward slot / product slot / third-body efficiency slot /
+    specific-pdep), so the compressed assembly operand P1x[j] is a pure
+    GATHER of a stacked per-reaction source array — the role
+    coefficient (+-1) and the linear combination across roles are
+    absorbed into duplicated, sign-folded columns of the per-column
+    stoichiometry table (contraction linearity).  The source stack is
+    [vals_f_0..; vals_p_0..; psi_q*effval_0..; xi_q; zero-row]: the
+    efficiency value is pre-multiplied per slot upstream, so every
+    gathered coefficient is exactly 1.
+
+    Compared to :func:`_sparse_col_pack` this trades a slightly wider
+    Rmax (role multiplicity) for an arithmetic-free middle stage —
+    XLA gathers are pure data movement and fuse, while barriered dd
+    arithmetic in XLA materialises every intermediate (measured 14x
+    slowdown on the streamed flagship).
+    """
+    N, R, J = meta['N'], meta['R'], meta['J']
+    Sf, Sp = meta['Sf'], meta['Sp']
+    S_eff = meta.get('S_eff', 0) if meta['has_pres_mod'] else 0
+    reac_sp = np.asarray(packed.reac_sp)
+    prod_sp = np.asarray(packed.prod_sp)
+    reac_nu = np.asarray(packed.reac_nu)
+    prod_nu = np.asarray(packed.prod_nu)
+
+    # per-column role lists: (source_row, sign)
+    roles = [[] for _ in range(J)]
+    for s in range(Sf):
+        ok = (reac_nu[:, s] != 0) & (reac_sp[:, s] < J)
+        for r in np.nonzero(ok)[0]:
+            roles[reac_sp[r, s]].append((s * R + r, r, 1.0))
+    for s in range(Sp):
+        ok = (prod_nu[:, s] != 0) & (prod_sp[:, s] < J)
+        for r in np.nonzero(ok)[0]:
+            roles[prod_sp[r, s]].append(((Sf + s) * R + r, r, -1.0))
+    if meta['has_pres_mod']:
+        eff_red = np.asarray(packed.eff_m1[:, :J])
+        # efficiency slots mirror _consts_dd's packing order
+        nnz_rows = [np.nonzero(eff_red[r])[0] for r in range(R)]
+        for r, z in enumerate(nnz_rows):
+            for s, j in enumerate(z):
+                roles[j].append(((Sf + Sp + s) * R + r, r, 1.0))
+        pd = np.asarray(packed.pdep_sp_idx)
+        ok = (pd >= 0) & (pd < J)
+        for r in np.nonzero(ok)[0]:
+            roles[pd[r]].append(((Sf + Sp + S_eff) * R + r, r, 1.0))
+
+    n_src = (Sf + Sp + S_eff + 1) * R + 1
+    zero_row = n_src - 1
+    Rmax = max(8, int(-(-max(len(x) for x in roles) // 8) * 8))
+    n_blocks = -(-J // jb)
+    J_pad = n_blocks * jb
+    gidx = np.full((J_pad, Rmax), zero_row, dtype=np.int32)
+
+    S = ddx.slice_static(np.asarray(packed.nu_net, np.float64).T, w=8)
+    nuc = np.zeros((J_pad, N, Rmax), dtype=np.float32)
+    deep = np.zeros(J_pad, dtype=bool)
+    resid = [S.slices[p] for p in range(1, S.n_slices)]
+    for j in range(J):
+        for i, (src, r, sign) in enumerate(roles[j]):
+            gidx[j, i] = src
+            nuc[j, :, i] = sign * S.slices[0][:, r]
+            if any(sl[:, r].any() for sl in resid):
+                deep[j] = True
+
+    # exact integer-L1 bound of the expanded tables (role duplication
+    # can exceed the global slicing's row L1)
+    max_l1 = int(np.ceil((np.abs(nuc).sum(axis=2) * 256.0).max()))
+
+    return dict(
+        Rmax=Rmax, J_pad=J_pad, n_blocks=n_blocks, n_src=n_src,
+        gidx=gidx, nuc=np.ascontiguousarray(nuc),
+        nu_rs=np.asarray(S.row_scale, np.float32),
+        nu_max_l1=max(max_l1, 1),
+        deep_cols=np.nonzero(deep[:J])[0],
+    )
+
+
 def _assemble_p1c(meta, SC, parts):
     """XLA-side compressed assembly: gather the per-slot values at each
     column's participating reactions -> P1c (J_pad, Rmax, B) dd.
@@ -1297,6 +1378,24 @@ def jacobian_dd_xla(packed, param, y, conp: bool = True,
     return Jmat, fvec
 
 
+def _stack_expanded_src(meta, C, parts):
+    """The stacked per-reaction source array for the expanded tables:
+    [vals_f_*; vals_p_*; psi_q*effval_*; xi_q; zero-row] as (n_src, B)
+    dd.  Pure per-reaction values — everything column-dependent lives
+    in the static gather indices and sign-folded nu tables."""
+    rows = list(parts['vals_f']) + list(parts['vals_p'])
+    zero_R = ddx.zeros_like(rows[0])
+    if meta['has_pres_mod']:
+        for s in range(meta['S_eff']):
+            rows.append(parts['psi_q'] * _cdd(C, 'effval%d' % s))
+        rows.append(parts['xi_q'] if meta['has_spec_pdep'] else zero_R)
+    else:
+        rows.append(zero_R)
+    rows.append(DDA(jnp.zeros_like(rows[0].hi[:1]),
+                    jnp.zeros_like(rows[0].hi[:1])))
+    return ddx.concat0(rows)
+
+
 def _sparse_col_contract(meta, SC, p1c_j: DDA, nuc_j, n_dyn=None):
     """Compressed per-column contraction: (N, Rmax) slice-0 static
     operand against the gathered (Rmax, B) dd assembly values."""
@@ -1308,7 +1407,8 @@ def _sparse_col_contract(meta, SC, p1c_j: DDA, nuc_j, n_dyn=None):
 
 
 def jacobian_dd_xla_sparse(packed, param, y, conp: bool = True,
-                           n_dyn: int = 8, log_rates: bool = False):
+                           n_dyn: int = 8, log_rates: bool = False,
+                           expanded: bool = False):
     """(J, dydt) like :func:`jacobian_dd_xla`, but assembling the
     species block through the compressed per-column reaction sets
     (``_sparse_col_pack``) instead of dense (R, B) columns.
@@ -1317,6 +1417,10 @@ def jacobian_dd_xla_sparse(packed, param, y, conp: bool = True,
     to the final dd rounding.  This is the CPU-testable reference for
     the sparse Pallas kernel, and the fallback used for ``deep``
     (fractional-nu) columns.
+
+    ``expanded=True`` uses the role-expanded tables
+    (:func:`_sparse_col_pack_expanded`): the assembly operand becomes
+    a single arithmetic-free gather of the stacked source.
     """
     if not jax.config.jax_enable_x64:
         raise RuntimeError('jacobian_dd_xla_sparse needs jax_enable_x64')
@@ -1324,14 +1428,22 @@ def jacobian_dd_xla_sparse(packed, param, y, conp: bool = True,
                               log_rates=log_rates)
     C = {k: jnp.asarray(v) for k, v in consts.items()}
     N, J = meta['N'], meta['J']
-    SC = _sparse_col_pack(packed, meta)
+    SC = (_sparse_col_pack_expanded(packed, meta) if expanded
+          else _sparse_col_pack(packed, meta))
 
     y_hi, y_lo = _split64(jnp.asarray(y).T)
     p_hi, p_lo = _split64(jnp.reshape(jnp.broadcast_to(
         jnp.asarray(param, jnp.float64), jnp.asarray(y).shape[:-1]),
         (1, -1)))
     parts = _compute_dd(meta, C, DDA(y_hi, y_lo), DDA(p_hi, p_lo))
-    p1c = _assemble_p1c(meta, SC, parts)                 # (J_pad, Rmax, B)
+    if expanded:
+        src = _stack_expanded_src(meta, C, parts)
+        gi = jnp.asarray(SC['gidx']).reshape(-1)
+        p1c = DDA(jnp.take(src.hi, gi, axis=0),
+                  jnp.take(src.lo, gi, axis=0)).reshape(
+                      SC['J_pad'], SC['Rmax'], -1)
+    else:
+        p1c = _assemble_p1c(meta, SC, parts)             # (J_pad, Rmax, B)
 
     u_vec = _cdd(C, 'u_vec')
     winv = _cdd(C, 'winv')
@@ -1427,6 +1539,306 @@ def _kernel_dd(meta, names, *refs):
 def supports(packed) -> bool:
     """Same coverage as the f32 Pallas kernel (pallas_jacobian.supports)."""
     return pallas_supports(packed)
+
+
+# postcol parts every column-finishing stage streams (shared between
+# the sparse pipeline's two kernels)
+def _postcol_stream_spec(meta):
+    spec = []
+    if meta['has_pres_mod']:
+        spec += [('v_at', 'N')]
+        if meta['has_spec_pdep']:
+            spec += [('v_pd', 'N')]
+    spec += [('v_u', 'N'), ('v_1', 'N'), ('eWn', 'N'), ('cp', 'N')]
+    spec += [('fkJ', 'J')]
+    spec += [('rho_inv', '1'), ('ish', '1'), ('mw_avg', '1'),
+             ('fT', '1')]
+    return spec
+
+
+def _kernel_dd_src(meta, names, n_src, *refs):
+    """Stage-A kernel of the sparse pipeline: the full monolithic
+    compute stage (thermo, rates, pressure modification, per-slot
+    assembly values, dy/dt, temperature column), emitting the stacked
+    per-reaction source array and the column-finishing parts to HBM —
+    everything the arithmetic-free gather + stage-B column kernel
+    need.  No column loop: the species block is stage B's job."""
+    nc = len(names)
+    cref = {nm: refs[i] for i, nm in enumerate(names)}
+    smem = ('u_vec_hi', 'u_vec_lo', 'winv_hi', 'winv_lo')
+    C = {nm: cref[nm][...] for nm in names if nm not in smem}
+    yh_ref, yl_ref, ph_ref, pl_ref = refs[nc:nc + 4]
+    outs = refs[nc + 4:]
+    src_h, src_l = outs[0], outs[1]
+    c0h, c0l, fh, fl = outs[2], outs[3], outs[4], outs[5]
+    post = outs[6:]
+
+    parts = _compute_dd(meta, C, DDA(yh_ref[...], yl_ref[...]),
+                        DDA(ph_ref[...], pl_ref[...]))
+    R = meta['R']
+    Sf, Sp = meta['Sf'], meta['Sp']
+    row = 0
+    for s in range(Sf):
+        src_h[row:row + R] = parts['vals_f'][s].hi
+        src_l[row:row + R] = parts['vals_f'][s].lo
+        row += R
+    for s in range(Sp):
+        src_h[row:row + R] = parts['vals_p'][s].hi
+        src_l[row:row + R] = parts['vals_p'][s].lo
+        row += R
+    if meta['has_pres_mod']:
+        for s in range(meta['S_eff']):
+            v = parts['psi_q'] * _cdd(C, 'effval%d' % s)
+            src_h[row:row + R] = v.hi
+            src_l[row:row + R] = v.lo
+            row += R
+        if meta['has_spec_pdep']:
+            src_h[row:row + R] = parts['xi_q'].hi
+            src_l[row:row + R] = parts['xi_q'].lo
+        else:
+            src_h[row:row + R] = jnp.zeros_like(parts['psi_q'].hi)
+            src_l[row:row + R] = jnp.zeros_like(parts['psi_q'].hi)
+        row += R
+    else:
+        src_h[row:row + R] = jnp.zeros_like(parts['vals_f'][0].hi)
+        src_l[row:row + R] = jnp.zeros_like(parts['vals_f'][0].hi)
+        row += R
+    # trailing zero row (+ padding to the tile multiple)
+    zpad = n_src - row
+    zrow = jnp.zeros((zpad,) + parts['vals_f'][0].hi.shape[1:],
+                     jnp.float32)
+    src_h[row:n_src] = zrow
+    src_l[row:n_src] = zrow
+
+    c0h[...] = parts['col0'].hi
+    c0l[...] = parts['col0'].lo
+    fh[...] = parts['f_out'].hi
+    fl[...] = parts['f_out'].lo
+    for idx, (name, _) in enumerate(_postcol_stream_spec(meta)):
+        post[2 * idx][...] = parts[name].hi
+        post[2 * idx + 1][...] = parts[name].lo
+
+
+def _kernel_dd_cols_x(meta, names, SCmeta, *refs):
+    """Stage-B kernel: compressed per-column contractions from the
+    gathered expanded assembly operand + streamed postcol parts."""
+    nc = len(names)
+    cref = {nm: refs[i] for i, nm in enumerate(names)}
+    smem = ('u_vec_hi', 'u_vec_lo', 'winv_hi', 'winv_lo')
+    C = {nm: cref[nm][...] for nm in names if nm not in smem}
+    stream = _postcol_stream_spec(meta)
+    p1h_ref, p1l_ref = refs[nc], refs[nc + 1]
+    nuc_ref = refs[nc + 2]
+    ins = refs[nc + 3:nc + 3 + 2 * len(stream)]
+    Jh_ref, Jl_ref = refs[nc + 3 + 2 * len(stream):]
+
+    parts = {}
+    for idx, (name, _) in enumerate(stream):
+        parts[name] = DDA(ins[2 * idx][...], ins[2 * idx + 1][...])
+    parts['mwJ'] = DDA(C['mw_col_hi'][0:meta['J']],
+                       C['mw_col_lo'][0:meta['J']])
+    cp_idx = [i for i, (nm, _) in enumerate(stream) if nm == 'cp'][0]
+    cph_ref, cpl_ref = ins[2 * cp_idx], ins[2 * cp_idx + 1]
+
+    J = meta['J']
+    jb = meta['jb']
+    N = meta['N']
+    Rmax = SCmeta['Rmax']
+    k = pl.program_id(1)
+    for g in range(jb):
+        c = k * jnp.int32(jb) + jnp.int32(g)
+        j = jnp.clip(c, jnp.int32(0), jnp.int32(J - 1))
+        w_j = DDA(cref['winv_hi'][0, j], cref['winv_lo'][0, j])
+        u_j = DDA(cref['u_vec_hi'][0, j], cref['u_vec_lo'][0, j])
+        cp_j = DDA(cph_ref[pl.ds(j, 1), :], cpl_ref[pl.ds(j, 1), :])
+        p1 = DDA(p1h_ref[g * Rmax:(g + 1) * Rmax],
+                 p1l_ref[g * Rmax:(g + 1) * Rmax])
+        nuc_g = nuc_ref[g * N:(g + 1) * N]
+        dcol = ddx.matmul_sliced_parts(
+            [nuc_g], C['nu_rs'], 8, SCmeta['nu_max_l1'], p1,
+            w_dyn=7, n_dyn=meta.get('n_dyn', 8),
+            bits=7 * meta.get('n_dyn', 8) + 16) * w_j
+        out = _post_col(meta, C, parts, dcol, u_j, cp_j)
+        Jh_ref[g:g + 1] = out.hi[None]
+        Jl_ref[g:g + 1] = out.lo[None]
+
+
+class PallasDDJacobianSparse:
+    """Flagship-class f64-grade Jacobian + dy/dt with the compressed
+    ("touched") species-block assembly, as a three-stage pipeline:
+
+    1. **parts kernel** (Pallas, monolithic compute stage) — rates,
+       pressure modification, per-slot assembly values; emits the
+       stacked per-reaction source array + column-finishing parts;
+    2. **gather** (XLA) — ONE arithmetic-free take per dd word builds
+       the expanded per-column assembly operand (role coefficients and
+       linear combination folded into the static tables at pack time);
+    3. **column kernel** (Pallas) — per column contracts
+       (N, Rmax) x (Rmax, B) instead of the dense (N, R) x (R, B):
+       O(|R_j|) work, the reference's touched[] economy
+       (create_jacobian.py:2650-2938, :3301-3404).
+
+    Mechanisms with fractional-nu reactions off the 2^-8 grid
+    ("deep" columns) are not supported here — use
+    ``PallasDDJacobianBig(sparse_cols=True)`` (its XLA stage computes
+    deep columns on the dense path).
+    """
+
+    def __init__(self, packed, block_b: int = 0, block_b_cols: int = 0,
+                 jb: int = 8, conp: bool = True, n_dyn: int = 8,
+                 log_rates: bool = False):
+        if not supports(packed):
+            raise NotImplementedError(
+                'mechanism outside Pallas coverage: use jacobian_dd_xla')
+        self.packed = packed
+        if block_b <= 0:
+            block_b = 2 ** int(math.log2(
+                max(128, min(256, 90000.0 / packed.n_reactions))))
+        if block_b_cols <= 0:
+            block_b_cols = max(block_b, 512)
+        self.block_b = block_b
+        self.block_b_cols = block_b_cols
+        self.consts, self.meta = _consts_dd(packed, conp=conp,
+                                            n_dyn=n_dyn,
+                                            log_rates=log_rates)
+        meta = self.meta
+        meta['jb'] = jb
+        SC = _sparse_col_pack_expanded(packed, meta, jb=jb)
+        if len(SC['deep_cols']):
+            raise NotImplementedError(
+                'fractional-nu (deep) columns: use '
+                'PallasDDJacobianBig(sparse_cols=True)')
+        self.SC = SC
+        N, R, J = meta['N'], meta['R'], meta['J']
+        self.n_cols_pad = SC['n_blocks'] * jb
+        # pad the source stack to a sublane multiple
+        self.n_src_pad = -(-SC['n_src'] // 8) * 8
+
+        self.names = list(self.consts.keys())
+        smem = ('u_vec_hi', 'u_vec_lo', 'winv_hi', 'winv_lo')
+        kernA = functools.partial(_kernel_dd_src, meta, self.names,
+                                  self.n_src_pad)
+
+        # stage-B constants: only what the column loop touches
+        keepB = [nm for nm in self.names
+                 if nm.startswith(('mw_col', 'u_vec', 'winv'))]
+        self.kconstsB = {nm: self.consts[nm] for nm in keepB}
+        self.kconstsB['nu_rs'] = SC['nu_rs']
+        self.namesB = list(self.kconstsB.keys())
+        kernB = functools.partial(_kernel_dd_cols_x, meta, self.namesB,
+                                  {'nu_max_l1': SC['nu_max_l1'],
+                                   'Rmax': SC['Rmax']})
+        post = _postcol_stream_spec(meta)
+        shp = {'N': N, 'J': J, '1': 1}
+        gidx_flat = jnp.asarray(np.where(
+            SC['gidx'] >= SC['n_src'] - 1, self.n_src_pad - 1,
+            SC['gidx']).reshape(-1))
+        nuc2 = jnp.asarray(SC['nuc']).reshape(SC['J_pad'] * N,
+                                              SC['Rmax'])
+        Rmax = SC['Rmax']
+        n_blocks = SC['n_blocks']
+
+        def call_tr(yh, yl, ph, plo):
+            B = yh.shape[-1]
+            gridA = (B // block_b,)
+            const_specsA = [
+                pl.BlockSpec(self.consts[nm].shape,
+                             (lambda nd: (lambda i: (i * 0,) * nd))(
+                                 self.consts[nm].ndim),
+                             memory_space=(pltpu.SMEM if nm in smem
+                                           else pltpu.VMEM))
+                for nm in self.names]
+            bspecA = lambda rows: pl.BlockSpec(
+                (rows, block_b), lambda i: (i * 0, i),
+                memory_space=pltpu.VMEM)
+            in_specsA = const_specsA + [
+                bspecA(N), bspecA(N), bspecA(1), bspecA(1)]
+            outA_rows = ([self.n_src_pad] * 2 + [N] * 2 + [N] * 2 +
+                         [shp[kind] for _, kind in post
+                          for _2 in (0, 1)])
+            out_specsA = [bspecA(r) for r in outA_rows]
+            out_shapeA = [jax.ShapeDtypeStruct((r, B), jnp.float32)
+                          for r in outA_rows]
+            argsA = [jnp.asarray(self.consts[nm]) for nm in self.names]
+            with df.barrier_mode('none'):
+                outsA = pl.pallas_call(
+                    kernA, grid=gridA, in_specs=in_specsA,
+                    out_specs=out_specsA, out_shape=out_shapeA,
+                    compiler_params=pltpu.CompilerParams(
+                        vmem_limit_bytes=112 * 1024 * 1024),
+                )(*argsA, yh, yl, ph, plo)
+            src_h, src_l = outsA[0], outsA[1]
+            c0h, c0l, fh, fl = outsA[2], outsA[3], outsA[4], outsA[5]
+            postvals = outsA[6:]
+
+            # stage 2: pure data movement (no barriers needed)
+            p1h = jnp.take(src_h, gidx_flat, axis=0)
+            p1l = jnp.take(src_l, gidx_flat, axis=0)
+
+            gridB = (B // block_b_cols, n_blocks)
+            const_specsB = [
+                pl.BlockSpec(self.kconstsB[nm].shape,
+                             (lambda nd: (lambda i, kk: (i * 0,) * nd))(
+                                 self.kconstsB[nm].ndim),
+                             memory_space=(pltpu.SMEM if nm in smem
+                                           else pltpu.VMEM))
+                for nm in self.namesB]
+            bspecB = lambda rows: pl.BlockSpec(
+                (rows, block_b_cols), lambda i, kk: (i * 0, i),
+                memory_space=pltpu.VMEM)
+            in_specsB = const_specsB + [
+                pl.BlockSpec((jb * Rmax, block_b_cols),
+                             lambda i, kk: (kk, i),
+                             memory_space=pltpu.VMEM)] * 2 + [
+                pl.BlockSpec((jb * N, Rmax), lambda i, kk: (kk, 0),
+                             memory_space=pltpu.VMEM)] + [
+                bspecB(shp[kind]) for _, kind in post for _2 in (0, 1)]
+            out_specsB = [
+                pl.BlockSpec((jb, N, block_b_cols),
+                             lambda i, kk: (kk, i * 0, i),
+                             memory_space=pltpu.VMEM)] * 2
+            out_shapeB = [
+                jax.ShapeDtypeStruct((self.n_cols_pad, N, B),
+                                     jnp.float32)] * 2
+            argsB = [jnp.asarray(self.kconstsB[nm])
+                     for nm in self.namesB]
+            with df.barrier_mode('none'):
+                Jh, Jl = pl.pallas_call(
+                    kernB, grid=gridB, in_specs=in_specsB,
+                    out_specs=out_specsB, out_shape=out_shapeB,
+                    compiler_params=pltpu.CompilerParams(
+                        vmem_limit_bytes=112 * 1024 * 1024,
+                        dimension_semantics=('arbitrary', 'arbitrary')),
+                )(*argsB, p1h, p1l, nuc2, *postvals)
+            return Jh, Jl, c0h, c0l, fh, fl
+
+        self.call_tr = jax.jit(call_tr)
+
+    def __call__(self, y, P):
+        N, J = self.meta['N'], self.meta['J']
+        blk = max(self.block_b, self.block_b_cols)
+        y64 = np.asarray(y, np.float64)
+        P64 = np.broadcast_to(np.asarray(P, np.float64), y64.shape[:1])
+        B = y64.shape[0]
+        pad = (-B) % blk
+        if pad:
+            y64 = np.concatenate([y64, np.repeat(y64[-1:], pad, 0)], 0)
+            P64 = np.concatenate([P64, np.repeat(P64[-1:], pad, 0)], 0)
+        yh = y64.T.astype(np.float32)
+        yl = (y64.T - yh.astype(np.float64)).astype(np.float32)
+        ph = P64[None].astype(np.float32)
+        plo = (P64[None] - ph.astype(np.float64)).astype(np.float32)
+        Jh, Jl, c0h, c0l, fh, fl = self.call_tr(
+            jnp.asarray(yh), jnp.asarray(yl), jnp.asarray(ph),
+            jnp.asarray(plo))
+        cols = (np.asarray(Jh, np.float64) +
+                np.asarray(Jl, np.float64))[:J]
+        col0 = (np.asarray(c0h, np.float64) +
+                np.asarray(c0l, np.float64))[None]
+        Jmat = np.concatenate([col0, cols], 0).transpose(2, 1, 0)[:B]
+        f = (np.asarray(fh, np.float64) +
+             np.asarray(fl, np.float64)).T[:B]
+        return Jmat, f
 
 
 class PallasDDJacobian:
@@ -1665,14 +2077,20 @@ def _kernel_dd_cols_sparse(meta, names, SCmeta, *refs):
     jb = meta['jb']
     k = pl.program_id(1)
 
+    N = meta['N']
+    Rmax = SCmeta['Rmax']
     for g in range(jb):
         c = k * jnp.int32(jb) + jnp.int32(g)
         j = jnp.clip(c, jnp.int32(0), jnp.int32(J - 1))
         w_j = DDA(cref['winv_hi'][0, j], cref['winv_lo'][0, j])
         u_j = DDA(cref['u_vec_hi'][0, j], cref['u_vec_lo'][0, j])
         cp_j = DDA(cph_ref[pl.ds(j, 1), :], cpl_ref[pl.ds(j, 1), :])
-        p1 = DDA(p1h_ref[g], p1l_ref[g])                 # (Rmax, B)
-        nuc_g = nuc_ref[g]                               # (N, Rmax)
+        # all streamed blocks are 2-D with static row slices per
+        # column (3-D input blocks / integer-indexed 3-D reads hang
+        # this platform's Mosaic compile)
+        p1 = DDA(p1h_ref[g * Rmax:(g + 1) * Rmax],
+                 p1l_ref[g * Rmax:(g + 1) * Rmax])       # (Rmax, B)
+        nuc_g = nuc_ref[g * N:(g + 1) * N]               # (N, Rmax)
         dcol = ddx.matmul_sliced_parts(
             [nuc_g], C['nu_rs'], 8, SCmeta['nu_max_l1'], p1,
             w_dyn=7, n_dyn=meta.get('n_dyn', 8),
@@ -1753,7 +2171,8 @@ class PallasDDJacobianBig:
         if sparse_cols:
             kern = functools.partial(_kernel_dd_cols_sparse, meta,
                                      self.names,
-                                     {'nu_max_l1': SC['nu_max_l1']})
+                                     {'nu_max_l1': SC['nu_max_l1'],
+                                      'Rmax': SC['Rmax']})
         else:
             kern = functools.partial(_kernel_dd_cols, meta, self.names)
         stream = _parts_stream_spec(meta, sparse=sparse_cols)
@@ -1814,7 +2233,9 @@ class PallasDDJacobianBig:
                     C2['cpd_hi'], C2['cpd_lo'] = cpd.hi, cpd.lo
             parts = _compute_dd(meta, C2, ydd, pdd)
             if self.sparse_cols:
-                parts['p1c'] = _assemble_p1c(meta, SC, parts)
+                p1c3 = _assemble_p1c(meta, SC, parts)
+                parts['p1c'] = p1c3.reshape(
+                    SC['J_pad'] * SC['Rmax'], -1)
             out = []
             for name, _ in stream:
                 if name.startswith('vals_f'):
@@ -1866,19 +2287,22 @@ class PallasDDJacobianBig:
             in_specs = []
             for _, kind in stream:
                 if kind == 'P1C':
+                    # 2-D blocks: rows indexed by the column-block
+                    # grid axis, lanes by the batch tile
                     in_specs += [pl.BlockSpec(
-                        (jb, SC['Rmax'], block_b),
-                        lambda i, kk: (kk, i * 0, i),
+                        (jb * SC['Rmax'], block_b),
+                        lambda i, kk: (kk, i),
                         memory_space=pltpu.VMEM)] * 2
                 else:
                     in_specs += [bspec(shp[kind])] * 2
             in_specs = const_specs + in_specs
             extra_args, extra_specs = [], []
             if self.sparse_cols:
-                extra_args = [jnp.asarray(SC['nuc'])]
+                extra_args = [jnp.asarray(SC['nuc']).reshape(
+                    SC['J_pad'] * N, SC['Rmax'])]
                 extra_specs = [pl.BlockSpec(
-                    (jb, N, SC['Rmax']),
-                    lambda i, kk: (kk, i * 0, i * 0),
+                    (jb * N, SC['Rmax']),
+                    lambda i, kk: (kk, i * 0),
                     memory_space=pltpu.VMEM)]
             in_specs = in_specs + extra_specs
             out_specs = [

@@ -161,3 +161,49 @@ def test_integrate_unknown_method(h2o2_packed, h2_air):
     with pytest.raises(ValueError, match='unknown method'):
         integrate(h2o2_packed, jnp.asarray(y0), jnp.asarray([101325.0]),
                   1e-6, method='bdf')
+
+
+@pytest.mark.slow
+def test_integrate_usc2_scale_compiles_and_runs():
+    """111-species (USC-Mech II size) integration: with the fori_loop
+    gauss_solve the trace is O(1) in N, so the implicit solver stays
+    compilable beyond ~64 species (the round-2 unrolled elimination
+    grew an O(N^2) trace).  Correctness: mass conservation + finite
+    states + status codes over a short horizon."""
+    import tempfile
+    import time as _time
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pyjac_tpu.core.mech import Mechanism
+    from pyjac_tpu.core.pack import pack
+    from pyjac_tpu.integrate import STATUS_SUCCESS, integrate
+    from pyjac_tpu.testers.synthetic import (random_states,
+                                             synthetic_mechanism)
+
+    text = synthetic_mechanism(n_species=111, n_reactions=784, seed=5)
+    with tempfile.NamedTemporaryFile('w', suffix='.inp',
+                                     delete=False) as fh:
+        fh.write(text)
+        path = fh.name
+    mech = Mechanism.from_files(path)
+    packed = pack(mech)
+    y, _, P = random_states(mech, 8, seed=2, T_range=(900.0, 1100.0))
+    t0 = _time.time()
+    res = integrate(packed, jnp.asarray(y.astype(np.float64)),
+                    jnp.asarray(P.astype(np.float64)), 1e-9,
+                    rtol=1e-6, atol=1e-12, max_steps=200)
+    compile_and_run = _time.time() - t0
+    # trace+compile must stay practical at this size (unrolled round-2
+    # version: minutes at 53 species, impractical at 111)
+    assert compile_and_run < 600.0
+    yf = np.asarray(res.y)
+    assert np.isfinite(yf).all()
+    st = np.asarray(res.status)
+    assert ((st == STATUS_SUCCESS) | (st >= 0)).all()
+    # mass fractions stay physical on successful states
+    ok = np.asarray(res.success)
+    if ok.any():
+        s = yf[ok, 1:].sum(axis=1)
+        assert (s < 1.0 + 1e-6).all()

@@ -240,6 +240,21 @@ def test_sparse_col_pack_structure(tmp_path):
         assert touching <= have
 
 
+def test_sparse_columns_expanded_bit_identical(tmp_path):
+    """Role-expanded tables (single arithmetic-free gather; signs and
+    role linear combination folded into duplicated nu columns) agree
+    bit-for-bit with the dense dd path."""
+    from pyjac_tpu.ops.pallas_dd import jacobian_dd_xla_sparse
+
+    mech, packed = _synth_packed(tmp_path, n_species=9, n_reactions=24,
+                                 seed=7)
+    y, P = _states_for(mech)
+    Jd, fd = jacobian_dd_xla(packed, P, y)
+    Jx, fx = jacobian_dd_xla_sparse(packed, P, y, expanded=True)
+    assert np.array_equal(np.asarray(Jd), np.asarray(Jx))
+    assert np.array_equal(np.asarray(fd), np.asarray(fx))
+
+
 def test_log_rates_xla_matches_linear(tmp_path):
     """Log-space dd rates (single exponential of ln kf (- ln Kc) +
     sum nu ln C; reference math rate_subs.py:660-809) agree with the
