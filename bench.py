@@ -6,10 +6,15 @@ eval_jacob evaluations, reference: pyjac/performance_tester/tester.c.in:
 **parity precision** (f64-grade double-float arithmetic, BASELINE.md),
 on one chip.
 
-The headline path is the double-float Pallas kernel
-(pyjac_tpu/ops/pallas_dd.py): (hi, lo) f32 pairs at ~2^-48 relative
-precision, validated on-chip against the reference's generated C at
-7.2e-10 thresholded max relative error (bar: 1e-8).
+The headline path is the compressed ("touched") fused-gather sparse
+double-float Pallas pipeline (pyjac_tpu/ops/pallas_dd.py,
+PallasDDJacobianSparse): (hi, lo) f32 pairs at ~2^-48 relative
+precision; each Jacobian column contracts only its participating
+reactions (the reference's touched[] economy,
+create_jacobian.py:2650-2938). Validated on-chip at 7.6e-10 floored
+max relative error vs CPU true-f64 on the bench states (bar: 1e-8);
+the dense kernel it supersedes is at 7.2e-10 vs the reference's own
+generated C.
 
 Prints ONE JSON line:
   {"metric": ..., "value": evals/sec/chip, "unit": ..., "vs_baseline": x}
@@ -70,14 +75,15 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from pyjac_tpu.ops.pallas_dd import PallasDDJacobian
+    from pyjac_tpu.ops.pallas_dd import (PallasDDJacobian,
+                                         PallasDDJacobianSparse)
 
     dev = jax.devices()[0]
     print('bench device: %s' % (dev,), file=sys.stderr)
 
-    B = 65536
+    B = 131072
     repeats = 3
-    queue = 4           # queued dispatches per timed pass (one host
+    queue = 6           # queued dispatches per timed pass (one host
     # sync per pass: block_until_ready is unreliable on axon and each
     # sync costs a ~30 ms tunnel roundtrip)
 
@@ -89,7 +95,14 @@ def main():
     ph, plo = _split64_cols(P64)
     yh, yl, ph, plo = map(jnp.asarray, (yh, yl, ph, plo))
 
-    pj = PallasDDJacobian(packed)
+    try:
+        # headline kernel: compressed ("touched") fused-gather sparse
+        # pipeline — stage A computes per-reaction parts once, stage B
+        # contracts each column over only its participating reactions
+        # (reference economy: create_jacobian.py:2650-2938, :3301-3404)
+        pj = PallasDDJacobianSparse(packed, fuse_gather=True)
+    except NotImplementedError:
+        pj = PallasDDJacobian(packed)
     # full on-device reductions: every output element feeds the
     # checksum so XLA cannot dead-code-eliminate any of the kernel,
     # while the host transfer stays a single scalar per output.

@@ -32,7 +32,8 @@ from .ops.dydt import dydt, dydt_conp, dydt_conv, split_state
 from .ops.jacobian import (eval_jacobian, jacobian_fwd,
                            jacobian_vector_product)
 from .ops.pallas_dd import (PallasDDJacobian, PallasDDJacobianBig,
-                            jacobian_dd_xla, jacobian_dd_xla_sparse)
+                            PallasDDJacobianSparse, jacobian_dd_xla,
+                            jacobian_dd_xla_sparse)
 from .ops.pallas_jacobian import PallasJacobian
 from .ops.sparse import (csr_structure, sparse_values,  # noqa: F401
                          structural_sparsity)
@@ -53,8 +54,8 @@ __all__ = [
     'eval_smh', 'eval_spec_rates', 'eval_u', 'get_rxn_pres_mod',
     'get_species_mappings', 'ignition_delay', 'integrate',
     'jacobian_fwd', 'jacobian_vector_product',
-    'PallasDDJacobian', 'PallasDDJacobianBig', 'jacobian_dd_xla',
-    'jacobian_dd_xla_sparse',
+    'PallasDDJacobian', 'PallasDDJacobianBig', 'PallasDDJacobianSparse',
+    'jacobian_dd_xla', 'jacobian_dd_xla_sparse',
     'pack', 'rates_of_progress', 'read_mech', 'read_mech_cti',
     'read_thermo', 'split_state', 'third_body_concentrations',
     'structural_sparsity', 'csr_structure', 'sparse_values',

@@ -41,6 +41,7 @@ import math
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -553,6 +554,41 @@ def _sparse_col_pack_expanded(packed, meta, jb: int = 8):
     )
 
 
+def _fused_roles(meta, SC, consts):
+    """Decode the expanded gather table into static in-kernel row
+    reads for the fully-fused sparse-column kernel: per column, a list
+    of (kind, slot, reaction, mult_hi, mult_lo) where kind selects the
+    VMEM-resident parts array ('f'=vals_f[slot], 'p'=vals_p[slot],
+    'eff'=psi_q * baked dd efficiency scalar, 'pd'=xi_q).  Ordering
+    matches the columns of SC['nuc'] exactly (padding rows are all at
+    the tail by construction)."""
+    R = meta['R']
+    Sf, Sp = meta['Sf'], meta['Sp']
+    S_eff = meta.get('S_eff', 0) if meta['has_pres_mod'] else 0
+    zero_row = SC['n_src'] - 1
+    roles = []
+    for j in range(meta['J']):
+        lst = []
+        for src in SC['gidx'][j]:
+            src = int(src)
+            if src == zero_row:
+                break                      # padding tail
+            slot, r = divmod(src, R)
+            if slot < Sf:
+                lst.append(('f', slot, r, None, None))
+            elif slot < Sf + Sp:
+                lst.append(('p', slot - Sf, r, None, None))
+            elif slot < Sf + Sp + S_eff:
+                s = slot - Sf - Sp
+                lst.append(('eff', s, r,
+                            np.float32(consts['effval%d_hi' % s][r, 0]),
+                            np.float32(consts['effval%d_lo' % s][r, 0])))
+            else:
+                lst.append(('pd', 0, r, None, None))
+        roles.append(lst)
+    return roles
+
+
 def _assemble_p1c(meta, SC, parts):
     """XLA-side compressed assembly: gather the per-slot values at each
     column's participating reactions -> P1c (J_pad, Rmax, B) dd.
@@ -802,7 +838,12 @@ def _compute_dd(meta, C, y: DDA, P_in: DDA):
         if log_rates:
             kr = None                # never materialised in log mode
         else:
-            kr = _mask_mul(kf * ddx.exp(-lnKc), C['rev_mask'])
+            # ln Kc is neutralised on irreversible rows BEFORE the
+            # exp (their equilibrium "constant" is unconstrained and
+            # can overflow; masking inf after gives inf * 0 = NaN)
+            kr = _mask_mul(kf * ddx.exp(-_mask_mul(lnKc,
+                                                   C['rev_mask'])),
+                           C['rev_mask'])
         dlnKc_dT = (_mm(C, meta, 'nuR', dsmh) -
                     _cdd(C, 'sum_nu') * invT)
         dlnkr_dT = dlnkf_dT - dlnKc_dT
@@ -907,8 +948,13 @@ def _compute_dd(meta, C, y: DDA, P_in: DDA):
         if asign is not None:
             Rf = _mask_mul(Rf, asign)
         if meta['has_rev']:
-            Rr = ddx.exp(lkf - lnKc + lsum_p)
-            Rr = _mask_mul(Rr, C['rev_mask'] *
+            # neutralise the exponent on irreversible rows BEFORE the
+            # exp: their ln Kc can sit beyond the f32 exponent range
+            # (REV-split extreme-thermo reactions), and masking inf
+            # AFTER exponentiation makes inf * 0 = NaN
+            argr = lkf - lnKc + lsum_p
+            argr = _mask_mul(argr, C['rev_mask'])
+            Rr = _mask_mul(ddx.exp(argr), C['rev_mask'] *
                            (nzp < 0.5).astype(jnp.float32))
             if asign is not None:
                 Rr = _mask_mul(Rr, asign)
@@ -1106,16 +1152,26 @@ def _compute_dd(meta, C, y: DDA, P_in: DDA):
             out = []
             for s in range(S):
                 nu_s = _cdd(C, 'nu_%s%d' % (prefix, s))
-                v = ddx.exp(sign_base + (lsum - lcs[s]))
+                arg = sign_base + (lsum - lcs[s])
                 others = nz_tot - nzs[s]
-                keep = (others < 0.5) & ((nzs[s] < 0.5) |
-                                         (C['selfz_%s%d' % (prefix, s)]
-                                          < 0.5))
-                v = _mask_mul(v, keep.astype(jnp.float32))
+                keep = ((others < 0.5) & ((nzs[s] < 0.5) |
+                                          (C['selfz_%s%d' % (prefix, s)]
+                                           < 0.5))).astype(jnp.float32)
+                # every mask is folded into the exponent BEFORE the
+                # exp.  The -ln c_s term alone reaches +87 when slot s
+                # is floored (exact zero / trace), and on unused slots
+                # (nu_s == 0, where the linear path's slot-compare
+                # derivative is structurally zero) nothing else bounds
+                # the argument: exp overflows and the post-exp mask
+                # turns inf into inf * 0 = NaN.
+                keep = keep * jnp.where(nu_s.hi != 0.0, _F1,
+                                        np.float32(0.0))
+                if extra_mask is not None:
+                    keep = keep * extra_mask
+                arg = _mask_mul(arg, keep)
+                v = _mask_mul(ddx.exp(arg), keep)
                 if asign is not None:
                     v = _mask_mul(v, asign)
-                if extra_mask is not None:
-                    v = _mask_mul(v, extra_mask)
                 out.append(pmrho * nu_s * v)
             return out
 
@@ -1316,12 +1372,20 @@ def _split64(x):
 
 
 def jacobian_dd_xla(packed, param, y, conp: bool = True,
-                    n_dyn: int = 8, log_rates: bool = False):
+                    n_dyn: int = 8, log_rates: bool = False,
+                    fast_trace: bool = False):
     """(J, dydt) in f64 via double-float arithmetic under plain XLA.
 
     ``y``: (B, N) f64 batch-major states [T, Y_1..Y_{N-1}]; ``param``
     pressure [conp] or density [conv].  ~f64 accuracy (~2^-44) at
     f32-pipeline cost; the Pallas variant adds VMEM residency on top.
+
+    ``fast_trace``: run the column loop as ``lax.map`` instead of
+    unrolling.  The graph shrinks ~N-fold and jit-compiles orders of
+    magnitude faster, but XLA's scan-body excess-precision rewrites
+    cost ~2^-25 per-entry dd accuracy (CLAUDE.md round-2 lesson), so
+    this mode is for structural validation (the multi-chip dry run),
+    never parity measurement.
 
     Requires ``jax_enable_x64`` for the f64 output combination (without
     it the final astype silently truncates to f32 and the low words are
@@ -1357,6 +1421,31 @@ def jacobian_dd_xla(packed, param, y, conp: bool = True,
     # context (observed accurate); the Mosaic kernel keeps its
     # fori_loop — Mosaic performs none of these rewrites (probed).
     cols_hi, cols_lo = [parts['col0'].hi[None]], [parts['col0'].lo[None]]
+    if fast_trace:
+        B = parts['mw_avg'].hi.shape[-1]
+        cp = parts['cp']
+
+        def one_col(j):
+            jf = j.astype(jnp.float32)
+            w_j = DDA(lax.dynamic_slice(winv.hi, (0, j), (1, 1)),
+                      lax.dynamic_slice(winv.lo, (0, j), (1, 1)))
+            u_j = DDA(lax.dynamic_slice(u_vec.hi, (0, j), (1, 1)),
+                      lax.dynamic_slice(u_vec.lo, (0, j), (1, 1)))
+            cp_j = DDA(lax.dynamic_slice(cp.hi, (j, 0), (1, B)),
+                       lax.dynamic_slice(cp.lo, (j, 0), (1, B)))
+            c = _column_block_dd(meta, C, parts,
+                                 [(jf, w_j, u_j, cp_j)])[0]
+            return c.hi, c.lo
+
+        m_hi, m_lo = lax.map(one_col, jnp.arange(J))
+        J_hi = jnp.concatenate([cols_hi[0], m_hi], axis=0)
+        J_lo = jnp.concatenate([cols_lo[0], m_lo], axis=0)
+        Jmat = (jnp.transpose(J_hi, (2, 1, 0)).astype(jnp.float64) +
+                jnp.transpose(J_lo, (2, 1, 0)).astype(jnp.float64))
+        fvec = (parts['f_out'].hi.T.astype(jnp.float64) +
+                parts['f_out'].lo.T.astype(jnp.float64))
+        return Jmat, fvec
+
     G = meta.get('col_group', 8)
     for j0 in range(0, J, G):
         specs = []
@@ -1663,6 +1752,59 @@ def _kernel_dd_cols_x(meta, names, SCmeta, *refs):
         Jl_ref[g:g + 1] = out.lo[None]
 
 
+def _kernel_dd_cols_fused(meta, names, SCmeta, gidx, *refs):
+    """Fused-gather stage-B kernel: the whole src stack streams into
+    VMEM as a (n_src_pad, block) batch tile and every column block is
+    unrolled in the kernel body, so each column's compressed assembly
+    operand is built from **static** single-row reads of VMEM — no
+    HBM-materialised gather at all.  vs the take + `_kernel_dd_cols_x`
+    pipeline this removes ~2x the src stack of HBM round-trip traffic
+    (the measured binding cost of the three-stage pipeline: XLA's
+    row-gather ran at ~76 GB/s, a third of stream bandwidth).
+
+    ``gidx`` is the static (J_pad, Rmax) source-row table; grid is
+    (B // block,) only — the column axis lives in the unrolled body
+    (static indices cannot depend on a grid variable)."""
+    nc = len(names)
+    cref = {nm: refs[i] for i, nm in enumerate(names)}
+    smem = ('u_vec_hi', 'u_vec_lo', 'winv_hi', 'winv_lo')
+    C = {nm: cref[nm][...] for nm in names if nm not in smem}
+    stream = _postcol_stream_spec(meta)
+    src_h_ref, src_l_ref = refs[nc], refs[nc + 1]
+    nuc_ref = refs[nc + 2]
+    ins = refs[nc + 3:nc + 3 + 2 * len(stream)]
+    Jh_ref, Jl_ref = refs[nc + 3 + 2 * len(stream):]
+
+    parts = {}
+    for idx, (name, _) in enumerate(stream):
+        parts[name] = DDA(ins[2 * idx][...], ins[2 * idx + 1][...])
+    parts['mwJ'] = DDA(C['mw_col_hi'][0:meta['J']],
+                       C['mw_col_lo'][0:meta['J']])
+    cp_idx = [i for i, (nm, _) in enumerate(stream) if nm == 'cp'][0]
+    cph_ref, cpl_ref = ins[2 * cp_idx], ins[2 * cp_idx + 1]
+
+    J, N = meta['J'], meta['N']
+    Rmax = SCmeta['Rmax']
+    src_h = src_h_ref[...]
+    src_l = src_l_ref[...]
+    for c in range(gidx.shape[0]):
+        j = min(c, J - 1)
+        w_j = DDA(cref['winv_hi'][0, j], cref['winv_lo'][0, j])
+        u_j = DDA(cref['u_vec_hi'][0, j], cref['u_vec_lo'][0, j])
+        cp_j = DDA(cph_ref[pl.ds(j, 1), :], cpl_ref[pl.ds(j, 1), :])
+        rows = [int(r) for r in gidx[c]]
+        p1 = DDA(jnp.concatenate([src_h[r:r + 1] for r in rows], 0),
+                 jnp.concatenate([src_l[r:r + 1] for r in rows], 0))
+        nuc_c = nuc_ref[c * N:(c + 1) * N]
+        dcol = ddx.matmul_sliced_parts(
+            [nuc_c], C['nu_rs'], 8, SCmeta['nu_max_l1'], p1,
+            w_dyn=7, n_dyn=meta.get('n_dyn', 8),
+            bits=7 * meta.get('n_dyn', 8) + 16) * w_j
+        out = _post_col(meta, C, parts, dcol, u_j, cp_j)
+        Jh_ref[c:c + 1] = out.hi[None]
+        Jl_ref[c:c + 1] = out.lo[None]
+
+
 class PallasDDJacobianSparse:
     """Flagship-class f64-grade Jacobian + dy/dt with the compressed
     ("touched") species-block assembly, as a three-stage pipeline:
@@ -1686,14 +1828,18 @@ class PallasDDJacobianSparse:
 
     def __init__(self, packed, block_b: int = 0, block_b_cols: int = 0,
                  jb: int = 8, conp: bool = True, n_dyn: int = 8,
-                 log_rates: bool = False):
+                 log_rates: bool = False, fuse_gather: bool = False):
+        self.fuse_gather = bool(fuse_gather)
         if not supports(packed):
             raise NotImplementedError(
                 'mechanism outside Pallas coverage: use jacobian_dd_xla')
         self.packed = packed
         if block_b <= 0:
+            # the parts stage holds no per-column temporaries, so it
+            # affords twice the dense kernel's state tile (measured on
+            # chip at GRI scale: 512 edges out 256, 56.1 vs 58.1 ms/64k)
             block_b = 2 ** int(math.log2(
-                max(128, min(256, 90000.0 / packed.n_reactions))))
+                max(128, min(512, 180000.0 / packed.n_reactions))))
         if block_b_cols <= 0:
             block_b_cols = max(block_b, 512)
         self.block_b = block_b
@@ -1738,7 +1884,23 @@ class PallasDDJacobianSparse:
         Rmax = SC['Rmax']
         n_blocks = SC['n_blocks']
 
-        def call_tr(yh, yl, ph, plo):
+        # fused-gather tables: zero-row remapped into the padding,
+        # per-column rows sorted by source index (the contraction is
+        # order-invariant when nuc permutes identically; sorting
+        # groups duplicates/neighbours for the VMEM row reads)
+        gidx_np = np.where(SC['gidx'] >= SC['n_src'] - 1,
+                           self.n_src_pad - 1, SC['gidx'])
+        order = np.argsort(gidx_np, axis=1, kind='stable')
+        gidx_sorted = np.take_along_axis(gidx_np, order, axis=1)
+        nuc_sorted = np.take_along_axis(SC['nuc'], order[:, None, :],
+                                        axis=2)
+        nuc2f = jnp.asarray(nuc_sorted).reshape(SC['J_pad'] * N, Rmax)
+        kernF = functools.partial(_kernel_dd_cols_fused, meta,
+                                  self.namesB,
+                                  {'nu_max_l1': SC['nu_max_l1'],
+                                   'Rmax': Rmax}, gidx_sorted)
+
+        def stage_a(yh, yl, ph, plo):
             B = yh.shape[-1]
             gridA = (B // block_b,)
             const_specsA = [
@@ -1767,14 +1929,15 @@ class PallasDDJacobianSparse:
                     compiler_params=pltpu.CompilerParams(
                         vmem_limit_bytes=112 * 1024 * 1024),
                 )(*argsA, yh, yl, ph, plo)
-            src_h, src_l = outsA[0], outsA[1]
-            c0h, c0l, fh, fl = outsA[2], outsA[3], outsA[4], outsA[5]
-            postvals = outsA[6:]
+            return outsA
 
+        def stage_gather(src_h, src_l):
             # stage 2: pure data movement (no barriers needed)
-            p1h = jnp.take(src_h, gidx_flat, axis=0)
-            p1l = jnp.take(src_l, gidx_flat, axis=0)
+            return (jnp.take(src_h, gidx_flat, axis=0),
+                    jnp.take(src_l, gidx_flat, axis=0))
 
+        def stage_b(p1h, p1l, postvals):
+            B = p1h.shape[-1]
             gridB = (B // block_b_cols, n_blocks)
             const_specsB = [
                 pl.BlockSpec(self.kconstsB[nm].shape,
@@ -1810,8 +1973,60 @@ class PallasDDJacobianSparse:
                         vmem_limit_bytes=112 * 1024 * 1024,
                         dimension_semantics=('arbitrary', 'arbitrary')),
                 )(*argsB, p1h, p1l, nuc2, *postvals)
+            return Jh, Jl
+
+        def stage_b_fused(src_h, src_l, postvals):
+            B = src_h.shape[-1]
+            gridF = (B // block_b_cols,)
+            const_specsF = [
+                pl.BlockSpec(self.kconstsB[nm].shape,
+                             (lambda nd: (lambda i: (i * 0,) * nd))(
+                                 self.kconstsB[nm].ndim),
+                             memory_space=(pltpu.SMEM if nm in smem
+                                           else pltpu.VMEM))
+                for nm in self.namesB]
+            bspecF = lambda rows: pl.BlockSpec(
+                (rows, block_b_cols), lambda i: (i * 0, i),
+                memory_space=pltpu.VMEM)
+            in_specsF = const_specsF + [
+                bspecF(self.n_src_pad)] * 2 + [
+                pl.BlockSpec((SC['J_pad'] * N, Rmax),
+                             lambda i: (i * 0, 0),
+                             memory_space=pltpu.VMEM)] + [
+                bspecF(shp[kind]) for _, kind in post for _2 in (0, 1)]
+            out_specsF = [
+                pl.BlockSpec((self.n_cols_pad, N, block_b_cols),
+                             lambda i: (i * 0, i * 0, i),
+                             memory_space=pltpu.VMEM)] * 2
+            out_shapeF = [
+                jax.ShapeDtypeStruct((self.n_cols_pad, N, B),
+                                     jnp.float32)] * 2
+            argsF = [jnp.asarray(self.kconstsB[nm])
+                     for nm in self.namesB]
+            with df.barrier_mode('none'):
+                Jh, Jl = pl.pallas_call(
+                    kernF, grid=gridF, in_specs=in_specsF,
+                    out_specs=out_specsF, out_shape=out_shapeF,
+                    compiler_params=pltpu.CompilerParams(
+                        vmem_limit_bytes=112 * 1024 * 1024),
+                )(*argsF, src_h, src_l, nuc2f, *postvals)
+            return Jh, Jl
+
+        def call_tr(yh, yl, ph, plo):
+            outsA = stage_a(yh, yl, ph, plo)
+            c0h, c0l, fh, fl = outsA[2], outsA[3], outsA[4], outsA[5]
+            if self.fuse_gather:
+                Jh, Jl = stage_b_fused(outsA[0], outsA[1], outsA[6:])
+            else:
+                p1h, p1l = stage_gather(outsA[0], outsA[1])
+                Jh, Jl = stage_b(p1h, p1l, outsA[6:])
             return Jh, Jl, c0h, c0l, fh, fl
 
+        # stage entry points for profiling / pipeline experiments
+        self.stage_a_tr = jax.jit(stage_a)
+        self.stage_gather_tr = jax.jit(stage_gather)
+        self.stage_b_tr = jax.jit(stage_b)
+        self.stage_b_fused_tr = jax.jit(stage_b_fused)
         self.call_tr = jax.jit(call_tr)
 
     def __call__(self, y, P):

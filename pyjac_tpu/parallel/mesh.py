@@ -153,11 +153,21 @@ class BatchEvaluator:
         (full-output reduction so nothing is dead-code-eliminated);
         returns the checksum sum.
         """
-        from ..ops.pallas_dd import PallasDDJacobian
+        from ..ops.pallas_dd import (PallasDDJacobian,
+                                     PallasDDJacobianSparse)
 
         if getattr(self, '_pjdd', None) is None:
-            self._pjdd = PallasDDJacobian(self.packed, block_b=block_b,
-                                          conp=self.conp)
+            try:
+                # compressed fused-gather pipeline: the fastest parity-
+                # precision kernel (916k+ GRI evals/s vs 650k dense)
+                self._pjdd = PallasDDJacobianSparse(
+                    self.packed, block_b=block_b, conp=self.conp,
+                    fuse_gather=True)
+            except NotImplementedError:
+                # deep (fractional-nu) columns or unsupported category
+                self._pjdd = PallasDDJacobian(self.packed,
+                                              block_b=block_b,
+                                              conp=self.conp)
             self._pjdd_sum = jax.jit(
                 lambda a, b, c, d: sum(jnp.sum(x) for x in
                                        self._pjdd.call_tr(a, b, c, d)))
@@ -180,10 +190,11 @@ class BatchEvaluator:
                     f_out[s:lo] = f[:lo - s]
             return J_out, f_out
         acc = []
+        blk = max(pj.block_b, getattr(pj, 'block_b_cols', 0))
         for s, e in self._chunks(ypad.shape[0]):
             yc = ypad[s:e]
             pc = ppad[s:e]
-            pad = (-len(yc)) % pj.block_b
+            pad = (-len(yc)) % blk
             if pad:
                 yc = np.concatenate([yc, np.repeat(yc[-1:], pad, 0)])
                 pc = np.concatenate([pc, np.repeat(pc[-1:], pad)])
@@ -253,25 +264,38 @@ def sharded_step_dd(packed, mesh: Mesh, conp: bool = True,
 
 
 def sharded_jacobian_dd_xla(packed, mesh: Mesh, conp: bool = True,
-                            n_dyn: int = 8):
+                            n_dyn: int = 8, fast_trace: bool = False):
     """Parity-precision dd Jacobian math under ``shard_map`` — runs on
     ANY mesh, including a virtual multi-device CPU mesh, because the
     XLA dd path needs no Pallas.  This is what the multi-chip dry run
     executes: the double-float math under real multi-device sharding
     semantics with a cross-chip norm reduction (the Pallas variant of
     the same step, :func:`sharded_step_dd`, needs a physical TPU per
-    shard).  Inputs are plain (B, N) f64 states / (B,) parameters."""
+    shard).  Inputs are plain (B, N) f64 states / (B,) parameters.
+
+    ``fast_trace``: trace the dd body without optimization barriers
+    AND with a scanned (``lax.map``) column loop.  XLA may then fold
+    error-free-transformation patterns and rewrite scan-body low-word
+    chains (degrading the low words toward plain f32), so this is for
+    *structural* dry runs only — the full barriered unrolled graph
+    jit-compiles >18 min on XLA:CPU under 8-way SPMD, and even the
+    barrier-free unrolled graph trips the slow-compile alarm."""
     from functools import partial as _partial
 
+    from ..ops import doublefloat as df
     from ..ops.pallas_dd import jacobian_dd_xla
 
     sh = P('batch')
+    mode = 'none' if fast_trace else 'xla'
 
     @jax.jit
     @_partial(jax.shard_map, mesh=mesh, in_specs=(sh, sh),
               out_specs=(sh, sh, P()))
     def step(y, param):
-        J, f = jacobian_dd_xla(packed, param, y, conp=conp, n_dyn=n_dyn)
+        with df.barrier_mode(mode):
+            J, f = jacobian_dd_xla(packed, param, y, conp=conp,
+                                   n_dyn=n_dyn,
+                                   fast_trace=fast_trace)
         local = jnp.max(jnp.abs(J)) + jnp.max(jnp.abs(f))
         norm = jax.lax.pmax(local, 'batch')        # rides the ICI
         return J, f, norm

@@ -63,6 +63,52 @@ def _species_thermo(name: str, elems, rng, smh_spread: float = 1.0) -> str:
     return '\n'.join([line1, line2, line3, line4])
 
 
+def tiny_mechanism(a5x: float = 36000.0) -> str:
+    """A 4-species / 3-reaction mechanism (A+B<=>2X etc.) with
+    parameterised product thermo.
+
+    At ``a5x=36000`` the X enthalpy constant pushes kr = kf/Kc to
+    ~2.6e39 — beyond the f32 exponent range while every finished
+    Jacobian entry stays in range (trace-level X attenuates the
+    reverse derivatives): the extreme-range fixture for the log-space
+    dd path (reference f64 C handles this trivially,
+    pyjac/core/rate_subs.py:660-809 Kc path).  At moderate values
+    (e.g. ``a5x=3000``) it is simply the smallest well-posed reversible
+    mechanism — the multi-chip dry run uses it because double-float
+    graphs are expensive for XLA:CPU to compile and trace size scales
+    with species count."""
+
+    def nasa(name, comp, a5, a6=2.0):
+        lo = [3.5, 1e-3, -1e-6, 1e-9, -1e-13, a5, a6]
+        hi = [3.6, 8e-4, -5e-7, 5e-10, -5e-14, a5 + 30.0, a6 - 0.5]
+        compstr = ''.join('{:<2s}{:>3d}'.format(el, n)
+                          for el, n in comp).ljust(20)
+        l1 = ('{:<18s}{:>6s}{}G{:>10.3f}{:>10.3f}{:>9.3f}{:>6s}1'
+              .format(name, '', compstr, 300.0, 5000.0, 1000.0, ''))
+        return '\n'.join([l1, _fmt_nasa_line(hi, 5) + '    2',
+                          _fmt_nasa_line(hi[5:7] + lo[0:3], 5) + '    3',
+                          _fmt_nasa_line(lo[3:7], 4)
+                          + '                   4'])
+
+    return '\n'.join([
+        'ELEMENTS', 'H O N', 'END',
+        'SPECIES', 'A B X N2', 'END',
+        'THERMO ALL', '   300.000  1000.000  5000.000',
+        nasa('A', [('H', 2)], -500.0),
+        nasa('B', [('O', 2)], 300.0),
+        nasa('X', [('H', 1), ('O', 1)], a5x),
+        nasa('N2', [('N', 2)], -1000.0),
+        'END',
+        'REACTIONS',
+        'A+B<=>2X                                 '
+        '1.000E+13    0.000     8000.00',
+        'A+X<=>B+X                                '
+        '5.000E+11    0.300     6000.00',
+        'A+A<=>B+N2                               '
+        '2.000E+10    0.500    12000.00',
+        'END'])
+
+
 def synthetic_mechanism(n_species: int = 9, n_reactions: int = 24,
                         seed: int = 0, all_features: bool = True,
                         gri_mix: bool = False,

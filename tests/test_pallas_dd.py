@@ -327,3 +327,56 @@ def test_big_kernel_sparse_traces(tmp_path):
     sp = jax.ShapeDtypeStruct((1, B), jnp.float32)
     out = jax.eval_shape(big.call_tr, sh, sh, sp, sp)
     assert out[0].shape == (big.n_cols_pad, N, B)
+
+
+def _extreme_kc_mech(tmp_path, a5x=36000.0):
+    """A+B<=>2X with extreme product thermo: kr = kf/Kc ~ 2.6e39
+    overflows the f32 exponent range while every finished Jacobian
+    entry fits (trace-level X attenuates the reverse derivatives).
+    The reference's f64 C handles this trivially (rate_subs.py:660-809
+    Kc path); the dd pipeline needs log-space rates."""
+    from pyjac_tpu.testers.synthetic import tiny_mechanism
+    path = tmp_path / 'extreme.inp'
+    path.write_text(tiny_mechanism(a5x=a5x))
+    mech = Mechanism.from_files(str(path))
+    return mech, pack(mech)
+
+
+def _extreme_states(n=8, seed=0):
+    rng = np.random.default_rng(seed)
+    T = rng.uniform(1000.0, 1400.0, n)
+    Y = np.zeros((n, 3))
+    Y[:, 0] = rng.uniform(0.1, 0.3, n)
+    Y[:, 1] = rng.uniform(0.2, 0.5, n)
+    Y[:, 2] = 10.0 ** rng.uniform(-7, -5.5, n)     # trace product
+    y = np.concatenate([T[:, None], Y], axis=1)
+    P = np.full(n, 101325.0 * 10)
+    return y, P
+
+
+def test_log_rates_full_range(tmp_path):
+    """f64-range parity (reference rate_subs.py:660-809): when kr =
+    kf/Kc exceeds the f32 exponent range but the finished Jacobian
+    fits, the linear dd pipeline overflows and the log-space mode
+    reproduces the true-f64 Jacobian inside the 1e-8 parity bar."""
+    import jax.numpy as jnp
+
+    from pyjac_tpu.ops import rates
+    from pyjac_tpu.ops.jacobian import jacobian_and_dydt
+
+    mech, packed = _extreme_kc_mech(tmp_path)
+    y, P = _extreme_states()
+    Tj, Pj = jnp.asarray(y[:, 0]), jnp.asarray(P)
+    kr = (np.asarray(rates.eval_kf(packed, Tj, Pj)) /
+          np.asarray(rates.eval_kc(packed, Tj)))
+    assert kr.max() > 1e39                       # beyond f32 range
+    Jref, _ = jacobian_and_dydt(packed, 0.0, Pj, jnp.asarray(y))
+    Jref = np.asarray(Jref)                      # true f64 (CPU)
+    assert np.isfinite(Jref).all() and np.abs(Jref).max() < 1e38
+
+    Jlin, _ = jacobian_dd_xla(packed, P, y)
+    assert not np.isfinite(np.asarray(Jlin)).all()   # documented limit
+    Jlog, _ = jacobian_dd_xla(packed, P, y, log_rates=True)
+    Jlog = np.asarray(Jlog)
+    assert np.isfinite(Jlog).all()
+    assert _thresholded(Jlog, Jref) < 1e-8
