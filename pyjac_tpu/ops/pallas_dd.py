@@ -2481,6 +2481,10 @@ class PallasDDJacobianBig:
                         meta, Call, parts, specs)])
             return out, parts['col0'], parts['f_out'], deep_cols
 
+        # exposed for stage-share profiling (DDA is a NamedTuple, so
+        # jax.jit takes it directly)
+        self.xla_stage = xla_stage
+
         def call_tr(yh, yl, ph, plo):
             B = yh.shape[-1]
             grid = (B // block_b, n_jb)
