@@ -554,41 +554,6 @@ def _sparse_col_pack_expanded(packed, meta, jb: int = 8):
     )
 
 
-def _fused_roles(meta, SC, consts):
-    """Decode the expanded gather table into static in-kernel row
-    reads for the fully-fused sparse-column kernel: per column, a list
-    of (kind, slot, reaction, mult_hi, mult_lo) where kind selects the
-    VMEM-resident parts array ('f'=vals_f[slot], 'p'=vals_p[slot],
-    'eff'=psi_q * baked dd efficiency scalar, 'pd'=xi_q).  Ordering
-    matches the columns of SC['nuc'] exactly (padding rows are all at
-    the tail by construction)."""
-    R = meta['R']
-    Sf, Sp = meta['Sf'], meta['Sp']
-    S_eff = meta.get('S_eff', 0) if meta['has_pres_mod'] else 0
-    zero_row = SC['n_src'] - 1
-    roles = []
-    for j in range(meta['J']):
-        lst = []
-        for src in SC['gidx'][j]:
-            src = int(src)
-            if src == zero_row:
-                break                      # padding tail
-            slot, r = divmod(src, R)
-            if slot < Sf:
-                lst.append(('f', slot, r, None, None))
-            elif slot < Sf + Sp:
-                lst.append(('p', slot - Sf, r, None, None))
-            elif slot < Sf + Sp + S_eff:
-                s = slot - Sf - Sp
-                lst.append(('eff', s, r,
-                            np.float32(consts['effval%d_hi' % s][r, 0]),
-                            np.float32(consts['effval%d_lo' % s][r, 0])))
-            else:
-                lst.append(('pd', 0, r, None, None))
-        roles.append(lst)
-    return roles
-
-
 def _assemble_p1c(meta, SC, parts):
     """XLA-side compressed assembly: gather the per-slot values at each
     column's participating reactions -> P1c (J_pad, Rmax, B) dd.
@@ -1841,7 +1806,14 @@ class PallasDDJacobianSparse:
             block_b = 2 ** int(math.log2(
                 max(128, min(512, 180000.0 / packed.n_reactions))))
         if block_b_cols <= 0:
-            block_b_cols = max(block_b, 512)
+            # the column stage's VMEM scales with the (n_cols, N,
+            # block) output block (~N^2 * block * 8 B) plus per-column
+            # temporaries; 512 spilled at 111 species (176M > 128M),
+            # 1024 fits at 53 and is the measured GRI optimum, 2048
+            # spills there
+            nsq = packed.n_species ** 2 * 8
+            block_b_cols = max(block_b, min(1024, 2 ** int(math.log2(
+                max(128, 4.5e7 / nsq)))))
         self.block_b = block_b
         self.block_b_cols = block_b_cols
         self.consts, self.meta = _consts_dd(packed, conp=conp,

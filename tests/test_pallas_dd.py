@@ -380,3 +380,29 @@ def test_log_rates_full_range(tmp_path):
     Jlog = np.asarray(Jlog)
     assert np.isfinite(Jlog).all()
     assert _thresholded(Jlog, Jref) < 1e-8
+
+
+def test_sparse_pipeline_fused_traces(tmp_path):
+    """Flagship sparse pipeline builds and traces in both gather modes
+    with identical output structure; fused == three-stage was probed
+    bit-identical on-chip (numerics pinned on CPU via
+    jacobian_dd_xla_sparse(expanded=True))."""
+    import jax
+
+    from pyjac_tpu.ops.pallas_dd import PallasDDJacobianSparse
+
+    mech, packed = _synth_packed(tmp_path, n_species=21, n_reactions=60,
+                                 seed=11, gri_mix=True)
+    N = packed.n_species
+    outs = []
+    for fuse in (False, True):
+        pj = PallasDDJacobianSparse(packed, block_b=128,
+                                    block_b_cols=128, fuse_gather=fuse)
+        B = 2 * max(pj.block_b, pj.block_b_cols)
+        sh = jax.ShapeDtypeStruct((N, B), jnp.float32)
+        sp = jax.ShapeDtypeStruct((1, B), jnp.float32)
+        out = jax.eval_shape(pj.call_tr, sh, sh, sp, sp)
+        assert out[0].shape == (pj.n_cols_pad, N, B)    # J columns hi
+        assert out[4].shape == (N, B)                   # dydt hi
+        outs.append(tuple((o.shape, o.dtype) for o in out))
+    assert outs[0] == outs[1]
