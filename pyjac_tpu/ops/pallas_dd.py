@@ -613,15 +613,16 @@ def _cdd(C, name) -> DDA:
     return DDA(C['%s_hi' % name], C['%s_lo' % name])
 
 
-def _compute_dd(meta, C, y: DDA, P_in: DDA):
-    """All per-tile math up to (but excluding) the species-column loop.
-
-    y: (N, B) dd state tile [T, Y_1..Y_{N-1}] (row N-1 unused);
-    P_in: (1, B) dd pressure [conp] or density [conv].
-    Returns a dict of parts for the column loop + the T column/dydt.
+def _compute_state_thermo(meta, C, y: DDA, P_in: DDA) -> dict:
+    """State + NASA-thermo section of :func:`_compute_dd` — everything
+    shaped (N, B) / (1, B), nothing per-reaction.  Extracted so a
+    reaction-tiled parts kernel (roadmap item 5: the 654-class Mosaic
+    parts stage) can evaluate it once per batch tile and feed the
+    per-reaction section as inputs instead of recomputing it per
+    reaction tile; :func:`_compute_dd` calls it when no precomputed
+    dict is supplied, so both paths share the exact same dd ops.
     """
-    N, R, Sf, Sp, J = (meta['N'], meta['R'], meta['Sf'], meta['Sp'],
-                       meta['J'])
+    N = meta['N']
     conp = meta['conp']
 
     T = y.slice0(0, 1)                                   # (1, B)
@@ -679,6 +680,32 @@ def _compute_dd(meta, C, y: DDA, P_in: DDA):
     dsmh = dual(lambda t: cell(t, 0) * invT + cell(t, 1) +
                 T * horner(t, [4, 3, 2]) +
                 cell(t, 5) * invT * invT)('dsmh')
+    return dict(T=T, logT=logT, invT=invT, P=P, rho=rho, conc=conc,
+                mw_avg=mw_avg, Y_full=Y_full, cp=cp, h=h, dcp=dcp,
+                smh=smh, dsmh=dsmh)
+
+
+def _compute_dd(meta, C, y: DDA, P_in: DDA, pre: dict = None):
+    """All per-tile math up to (but excluding) the species-column loop.
+
+    y: (N, B) dd state tile [T, Y_1..Y_{N-1}] (row N-1 unused);
+    P_in: (1, B) dd pressure [conp] or density [conv].
+    Returns a dict of parts for the column loop + the T column/dydt.
+
+    ``pre``: optionally the output of :func:`_compute_state_thermo`
+    (same meta/C/y/P), letting a caller evaluate the (N, B) state +
+    thermo section once and run only the per-reaction section here.
+    """
+    N, R, Sf, Sp, J = (meta['N'], meta['R'], meta['Sf'], meta['Sp'],
+                       meta['J'])
+    conp = meta['conp']
+
+    st = _compute_state_thermo(meta, C, y, P_in) if pre is None else pre
+    T, logT, invT = st['T'], st['logT'], st['invT']
+    P, rho, conc = st['P'], st['rho'], st['conc']
+    mw_avg, Y_full = st['mw_avg'], st['Y_full']
+    cp, h, dcp, smh, dsmh = (st['cp'], st['h'], st['dcp'], st['smh'],
+                             st['dsmh'])
 
     # --- forward rate constants with log-derivatives ------------------------
     # log_rates mode: rates and per-slot assembly values are single dd

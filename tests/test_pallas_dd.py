@@ -406,3 +406,32 @@ def test_sparse_pipeline_fused_traces(tmp_path):
         assert out[4].shape == (N, B)                   # dydt hi
         outs.append(tuple((o.shape, o.dtype) for o in out))
     assert outs[0] == outs[1]
+
+
+def test_compute_dd_precomputed_state_bit_identical(tmp_path):
+    """The round-4 tiled parts kernel will feed the (N, B) state +
+    thermo section in as inputs (one evaluation per batch tile, not
+    per reaction tile); the split path must be bit-identical to the
+    monolithic one."""
+    from pyjac_tpu.ops.ddx import DDA
+    from pyjac_tpu.ops.pallas_dd import (_compute_dd,
+                                         _compute_state_thermo,
+                                         _consts_dd, _split64)
+
+    mech, packed = _synth_packed(tmp_path, n_species=13, n_reactions=40,
+                                 seed=7, gri_mix=True)
+    y, P = _states_for(mech, 8)
+    consts, meta = _consts_dd(packed, conp=True)
+    C = {k: jnp.asarray(v) for k, v in consts.items()}
+    yd = DDA(*_split64(jnp.asarray(y).T))
+    pd = DDA(*_split64(jnp.asarray(P, jnp.float64)[None]))
+    p1 = _compute_dd(meta, C, yd, pd)
+    pre = _compute_state_thermo(meta, C, yd, pd)
+    p2 = _compute_dd(meta, C, yd, pd, pre=pre)
+    for k in ('f_out', 'col0', 'cp', 'mw_avg', 'psi_q' if
+              meta['has_pres_mod'] else 'f_out'):
+        a, b = p1[k], p2[k]
+        assert jnp.array_equal(a.hi, b.hi) and jnp.array_equal(a.lo,
+                                                               b.lo), k
+    for s in range(meta['Sf']):
+        assert jnp.array_equal(p1['vals_f'][s].hi, p2['vals_f'][s].hi)
