@@ -80,7 +80,37 @@ def generate_library(packed, out_dir: str,
         kwargs = {}
         if platforms is not None:
             kwargs['platforms'] = tuple(platforms)
-        if name == 'jacobian_dd':
+        if name == 'jacobian_dd_sparse':
+            # the flagship compressed ("touched") fused-gather sparse
+            # pipeline — the fastest parity-precision kernel and the
+            # bench.py headline; same raw dd-pair interface as
+            # 'jacobian_dd' but J comes back as compressed column
+            # blocks (n_cols_pad, N, B) + col0 (the reference ships its
+            # fastest generated code in the library too,
+            # libgen.py:322-411)
+            from .ops.pallas_dd import PallasDDJacobianSparse
+            pjs = PallasDDJacobianSparse(packed, conp=conp,
+                                         fuse_gather=True)
+            kwargs.setdefault('platforms', ('tpu',))
+            blk = max(pjs.block_b, pjs.block_b_cols)
+            Bd = export.symbolic_shape('%d*b' % blk)[0]
+            f32 = jnp.float32
+            dd_args = (jax.ShapeDtypeStruct((N, Bd), f32),
+                       jax.ShapeDtypeStruct((N, Bd), f32),
+                       jax.ShapeDtypeStruct((1, Bd), f32),
+                       jax.ShapeDtypeStruct((1, Bd), f32))
+            exp = export.export(pjs.call_tr, **kwargs)(*dd_args)
+            dd_meta.update({
+                'dd_sparse_block_b': pjs.block_b,
+                'dd_sparse_block_b_cols': pjs.block_b_cols,
+                'dd_sparse_batch_multiple': blk,
+                'dd_sparse_n_cols_pad': pjs.n_cols_pad,
+                'dd_sparse_layout':
+                    'batch-minor (hi, lo) f32 pairs; outputs '
+                    '(J_cols[n_cols_pad,N,B] x2, col0[N,B] x2, '
+                    'f[N,B] x2); J[:,j+1] = J_cols[j]',
+            })
+        elif name == 'jacobian_dd':
             # the double-float Pallas kernel: raw dd-pair interface
             # (y_hi, y_lo (N, B), p_hi, p_lo (1, B)) ->
             # (J_hi, J_lo (N, N, B), f_hi, f_lo (N, B)); batch-minor,

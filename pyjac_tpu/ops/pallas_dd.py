@@ -695,17 +695,35 @@ def _compute_dd(meta, C, y: DDA, P_in: DDA, pre: dict = None):
     ``pre``: optionally the output of :func:`_compute_state_thermo`
     (same meta/C/y/P), letting a caller evaluate the (N, B) state +
     thermo section once and run only the per-reaction section here.
+
+    Split into three sections sharing the exact same dd ops:
+    :func:`_compute_state_thermo` ((N, B) state + NASA thermo),
+    :func:`_compute_reaction_parts` (everything (R, B)-shaped — the
+    section the reaction-tiled Mosaic parts kernel runs per tile), and
+    :func:`_finish_dd` (full-R contractions + thermodynamic closure).
+    """
+    st = _compute_state_thermo(meta, C, y, P_in) if pre is None else pre
+    rp = _compute_reaction_parts(meta, C, st)
+    return _finish_dd(meta, C, st, rp)
+
+
+def _compute_reaction_parts(meta, C, st: dict) -> dict:
+    """Per-reaction section of :func:`_compute_dd`: rate constants,
+    equilibrium, pressure modification and the per-slot assembly
+    values — everything shaped (R, B).
+
+    Tile-polymorphic: every ``C`` entry with a leading R dimension may
+    be a ``(tile_r, ·)`` block (the reaction-tiled parts kernel streams
+    them by the reaction grid axis) and the outputs are then
+    ``(tile_r, B)``.  ``st`` is :func:`_compute_state_thermo` output.
     """
     N, R, Sf, Sp, J = (meta['N'], meta['R'], meta['Sf'], meta['Sp'],
                        meta['J'])
     conp = meta['conp']
-
-    st = _compute_state_thermo(meta, C, y, P_in) if pre is None else pre
     T, logT, invT = st['T'], st['logT'], st['invT']
     P, rho, conc = st['P'], st['rho'], st['conc']
-    mw_avg, Y_full = st['mw_avg'], st['Y_full']
-    cp, h, dcp, smh, dsmh = (st['cp'], st['h'], st['dcp'], st['smh'],
-                             st['dsmh'])
+    mw_avg = st['mw_avg']
+    smh, dsmh = st['smh'], st['dsmh']
 
     # --- forward rate constants with log-derivatives ------------------------
     # log_rates mode: rates and per-slot assembly values are single dd
@@ -1191,12 +1209,34 @@ def _compute_dd(meta, C, y: DDA, P_in: DDA, pre: dict = None):
     elif meta['has_plog'] or meta['has_cheb']:
         c_u = c_u + pm * qnet * aP * mw_avg
 
-    # --- stoichiometric contractions --------------------------------------------
     q = pm * qnet
-    omega = _mm(C, meta, 'nuT', q)                       # (N, B)
+    psi_q = psi * qnet
+    xi_q = xi * qnet
+    out = dict(vals_f=vals_f, vals_p=vals_p, q=q, dq_dT=dq_dT,
+               c_u=c_u, c_1=c_1, psi_q=psi_q, xi_q=xi_q)
+    if meta.get('debug_parts'):
+        out.update(Rf=Rf, Rr=Rr, pm=pm, pmrho=pmrho, qnet=qnet)
+    return out
+
+
+def _finish_dd(meta, C, st: dict, rp: dict) -> dict:
+    """Full-R stoichiometric contractions + thermodynamic closure of
+    :func:`_compute_dd` — consumes the (R, B) role arrays of
+    :func:`_compute_reaction_parts` (live values or a parts kernel's
+    outputs) and the (N, B) state/thermo section."""
+    N, J = meta['N'], meta['J']
+    conp = meta['conp']
+    T, invT = st['T'], st['invT']
+    rho, mw_avg, Y_full = st['rho'], st['mw_avg'], st['Y_full']
+    cp, h, dcp = st['cp'], st['h'], st['dcp']
+    vals_f, vals_p = rp['vals_f'], rp['vals_p']
+    dq_dT, psi_q, xi_q = rp['dq_dT'], rp['psi_q'], rp['xi_q']
+
+    # --- stoichiometric contractions --------------------------------------------
+    omega = _mm(C, meta, 'nuT', rp['q'])                 # (N, B)
     domega_dT = _mm(C, meta, 'nuT', dq_dT)
-    v_u = _mm(C, meta, 'nuT', c_u)
-    v_1 = _mm(C, meta, 'nuT', c_1)
+    v_u = _mm(C, meta, 'nuT', rp['c_u'])
+    v_1 = _mm(C, meta, 'nuT', rp['c_1'])
 
     # --- thermodynamic closure -----------------------------------------------------
     rho_inv = ddx.recip(rho)
@@ -1212,8 +1252,6 @@ def _compute_dd(meta, C, y: DDA, P_in: DDA, pre: dict = None):
     # BEFORE the contraction so every intermediate stays in range
     eWn = (h * mw_col) * idenomT
     fT = -ddx.sum0(eWn * omega)
-    psi_q = psi * qnet
-    xi_q = xi * qnet
     # column-independent parts of the P1 pressure-mod terms, hoisted out
     # of the per-column assembly and contracted ONCE per block:
     # nuT @ P1_j = w_j * (nuT @ base_j) - v_at + v_pd  (see _p1_col)
@@ -1244,7 +1282,8 @@ def _compute_dd(meta, C, y: DDA, P_in: DDA, pre: dict = None):
                ish=ish, cp=cp, mw_avg=mw_avg, fT=fT,
                v_at=v_at, v_pd=v_pd)
     if meta.get('debug_parts'):
-        out.update(Rf=Rf, Rr=Rr, pm=pm, pmrho=pmrho, qnet=qnet)
+        out.update({k: rp[k] for k in ('Rf', 'Rr', 'pm', 'pmrho',
+                                       'qnet')})
     return out
 
 
@@ -1489,7 +1528,8 @@ def _sparse_col_contract(meta, SC, p1c_j: DDA, nuc_j, n_dyn=None):
 
 def jacobian_dd_xla_sparse(packed, param, y, conp: bool = True,
                            n_dyn: int = 8, log_rates: bool = False,
-                           expanded: bool = False):
+                           expanded: bool = False,
+                           fast_trace: bool = False):
     """(J, dydt) like :func:`jacobian_dd_xla`, but assembling the
     species block through the compressed per-column reaction sets
     (``_sparse_col_pack``) instead of dense (R, B) columns.
@@ -1502,6 +1542,12 @@ def jacobian_dd_xla_sparse(packed, param, y, conp: bool = True,
     ``expanded=True`` uses the role-expanded tables
     (:func:`_sparse_col_pack_expanded`): the assembly operand becomes
     a single arithmetic-free gather of the stacked source.
+
+    ``fast_trace=True`` runs the column loop as ``lax.map`` (the
+    N-fold smaller graph of :func:`jacobian_dd_xla`'s fast mode; same
+    accuracy caveat — structural use only, the unrolled CPU graph's
+    XLA optimization takes minutes/shape even barrier-free).
+    Requires a deep-column-free mechanism.
     """
     if not jax.config.jax_enable_x64:
         raise RuntimeError('jacobian_dd_xla_sparse needs jax_enable_x64')
@@ -1533,6 +1579,39 @@ def jacobian_dd_xla_sparse(packed, param, y, conp: bool = True,
     deep = set(int(d) for d in SC['deep_cols'])
 
     cols_hi, cols_lo = [parts['col0'].hi[None]], [parts['col0'].lo[None]]
+    if fast_trace:
+        if deep:
+            raise NotImplementedError(
+                'fast_trace sparse path does not cover deep '
+                '(fractional-nu) columns')
+        B = parts['mw_avg'].hi.shape[-1]
+        Rmax = SC['Rmax']
+
+        def one_col(j):
+            w_j = DDA(lax.dynamic_slice(winv.hi, (0, j), (1, 1)),
+                      lax.dynamic_slice(winv.lo, (0, j), (1, 1)))
+            u_j = DDA(lax.dynamic_slice(u_vec.hi, (0, j), (1, 1)),
+                      lax.dynamic_slice(u_vec.lo, (0, j), (1, 1)))
+            cp_j = DDA(lax.dynamic_slice(cp.hi, (j, 0), (1, B)),
+                       lax.dynamic_slice(cp.lo, (j, 0), (1, B)))
+            pj = DDA(lax.dynamic_slice(p1c.hi, (j, 0, 0),
+                                       (1, Rmax, B))[0],
+                     lax.dynamic_slice(p1c.lo, (j, 0, 0),
+                                       (1, Rmax, B))[0])
+            nuc_j = lax.dynamic_slice(nuc, (j, 0, 0), (1, N, Rmax))[0]
+            dcol = _sparse_col_contract(meta, SC, pj, nuc_j,
+                                        n_dyn=n_dyn) * w_j
+            c = _post_col(meta, C, parts, dcol, u_j, cp_j)
+            return c.hi, c.lo
+
+        m_hi, m_lo = lax.map(one_col, jnp.arange(J))
+        J_hi = jnp.concatenate([cols_hi[0], m_hi], axis=0)
+        J_lo = jnp.concatenate([cols_lo[0], m_lo], axis=0)
+        Jmat = (jnp.transpose(J_hi, (2, 1, 0)).astype(jnp.float64) +
+                jnp.transpose(J_lo, (2, 1, 0)).astype(jnp.float64))
+        fvec = (parts['f_out'].hi.T.astype(jnp.float64) +
+                parts['f_out'].lo.T.astype(jnp.float64))
+        return Jmat, fvec
     for j in range(J):
         w_j = DDA(winv.hi[0:1, j:j + 1], winv.lo[0:1, j:j + 1])
         u_j = DDA(u_vec.hi[0:1, j:j + 1], u_vec.lo[0:1, j:j + 1])
@@ -1580,6 +1659,13 @@ def _kernel_dd(meta, names, *refs):
 
     G = meta.get('col_group', 8)
     J_loop = meta.get('j_limit') or J    # timing-probe knob only
+    if J_loop < J:
+        # zero-fill the rows the truncated column loop will skip so a
+        # profiling run never reads uninitialized VMEM as output
+        Jh_ref[pl.ds(J_loop + 1, J - J_loop)] = jnp.zeros(
+            (J - J_loop,) + parts['col0'].hi.shape, jnp.float32)
+        Jl_ref[pl.ds(J_loop + 1, J - J_loop)] = jnp.zeros(
+            (J - J_loop,) + parts['col0'].lo.shape, jnp.float32)
 
     def spec_for(j):
         colf = (jnp.int32(j) * 1).astype(jnp.float32) \
@@ -2257,6 +2343,64 @@ def _kernel_dd_cols(meta, names, *refs):
         Jl_ref[i:i + 1] = c_val.lo[None]
 
 
+def _tiled_role_spec(meta):
+    """Role arrays the reaction-tiled parts kernel emits, (R_pad, B)
+    dd each — exactly :func:`_compute_reaction_parts`'s outputs."""
+    spec = ['vals_f%d' % s for s in range(meta['Sf'])]
+    spec += ['vals_p%d' % s for s in range(meta['Sp'])]
+    spec += ['q', 'dq_dT', 'c_u', 'c_1']
+    if meta['has_pres_mod']:
+        spec += ['psi_q']
+        if meta['has_spec_pdep']:
+            spec += ['xi_q']
+    return spec
+
+
+# state/thermo quantities the per-reaction section consumes, with
+# their row counts ('N' species rows, '1' broadcast rows)
+_TILED_ST_SPEC = (('T', '1'), ('logT', '1'), ('invT', '1'), ('P', '1'),
+                  ('rho', '1'), ('mw_avg', '1'), ('conc', 'N'),
+                  ('smh', 'N'), ('dsmh', 'N'))
+
+
+def _kernel_dd_parts_tiled(meta, names, *refs):
+    """Reaction-tiled Mosaic parts stage (grid: batch tiles x reaction
+    tiles): runs :func:`_compute_reaction_parts` on a (tile_r, block_b)
+    tile with every per-reaction constant streamed as a (tile_r, .)
+    block by the reaction grid axis, and the (N, B) state/thermo
+    section (computed ONCE by a small barriered XLA pre-stage) streamed
+    by the batch axis — so reaction tiles never recompute it.
+
+    This is the large-mechanism speed path: Mosaic traces the dd
+    error-free transformations exactly without barriers, where the
+    equivalent barriered XLA stage materialises every intermediate
+    (the 654-species class measured 79% of its pass there).  The
+    reference keeps this regime tractable by unrolling generated code
+    into subfiles (create_jacobian.py:2213-2221); here the analog is
+    the reaction tiling itself.  Slot gathers run as (tile_r, N)
+    one-hot MXU matmuls against the resident conc tile."""
+    nc = len(names)
+    cref = {nm: refs[i] for i, nm in enumerate(names)}
+    C = {nm: cref[nm][...] for nm in names}
+    n_st = len(_TILED_ST_SPEC)
+    st_refs = refs[nc:nc + 2 * n_st]
+    outs = refs[nc + 2 * n_st:]
+
+    st = {}
+    for idx, (nm, _) in enumerate(_TILED_ST_SPEC):
+        st[nm] = DDA(st_refs[2 * idx][...], st_refs[2 * idx + 1][...])
+
+    rp = _compute_reaction_parts(meta, C, st)
+    vals = dict(rp)
+    for s in range(meta['Sf']):
+        vals['vals_f%d' % s] = rp['vals_f'][s]
+    for s in range(meta['Sp']):
+        vals['vals_p%d' % s] = rp['vals_p'][s]
+    for idx, name in enumerate(_tiled_role_spec(meta)):
+        outs[2 * idx][...] = vals[name].hi
+        outs[2 * idx + 1][...] = vals[name].lo
+
+
 def _kernel_dd_cols_sparse(meta, names, SCmeta, *refs):
     """Sparse column kernel: each grid step contracts ``jb`` compressed
     (Rmax, B) assembly blocks against their static per-column
@@ -2341,14 +2485,31 @@ class PallasDDJacobianBig:
     def __init__(self, packed, block_b: int = 128, jb: int = 16,
                  interpret: bool = False, conp: bool = True,
                  n_dyn: int = 8, sparse_cols: bool = False,
-                 log_rates: bool = False):
+                 log_rates: bool = False, parts_kernel: bool = False,
+                 tile_r: int = 512):
         self.packed = packed
         self.block_b = block_b
         self.jb = jb
         self.interpret = interpret
         self.sparse_cols = bool(sparse_cols)
+        self.parts_kernel = bool(parts_kernel)
+        self.tile_r = tile_r
+        if parts_kernel:
+            if packed.has_plog or packed.has_cheb:
+                raise NotImplementedError(
+                    'parts_kernel: PLOG/Chebyshev scatter tables are '
+                    'not reaction-tileable yet — use the XLA parts '
+                    'stage (parts_kernel=False)')
+            if packed.n_species == packed.n_reactions:
+                raise NotImplementedError(
+                    'parts_kernel: N == R defeats the shape-based '
+                    'constant partitioning')
+        # parts_kernel streams per-reaction one-hots into the Mosaic
+        # tile (ext_gather=False builds them); the XLA parts stage
+        # gathers with jnp.take instead (ext_gather=True)
         self.consts, self.meta = _consts_dd(packed, conp=conp,
-                                            n_dyn=n_dyn, ext_gather=True,
+                                            n_dyn=n_dyn,
+                                            ext_gather=not parts_kernel,
                                             log_rates=log_rates)
         meta = self.meta
         meta['jb'] = jb
@@ -2372,6 +2533,11 @@ class PallasDDJacobianBig:
             drop_pre = drop_pre + ('nuT_', 'spf', 'spp', 'effidx',
                                    'effval', 'pdidxf', 'at_last',
                                    'pd_last', 'effm1_')
+        if parts_kernel:
+            # ext_gather=False materialises the one-hot tables; the
+            # column kernel never touches them
+            drop_pre = drop_pre + ('G_f', 'G_p', 'pd_onehot', 'effm1_',
+                                   'selfz')
         drop = [nm for nm in self.consts if nm.startswith(drop_pre)]
         self.kconsts = {nm: v for nm, v in self.consts.items()
                         if nm not in drop}
@@ -2484,12 +2650,131 @@ class PallasDDJacobianBig:
         # jax.jit takes it directly)
         self.xla_stage = xla_stage
 
+        # --- reaction-tiled Mosaic parts stage (roadmap item 5) -----------
+        # grid (B/block_b, R_pad/tile_r); every shape[0]==R constant
+        # streams as a (tile_r, .) block by the reaction axis, the
+        # (N|1, B) state/thermo section by the batch axis
+        R_pad = -(-R // tile_r) * tile_r
+        if parts_kernel:
+            pnames = sorted(nm for nm, v in self.consts.items()
+                            if np.asarray(v).shape[0] == R)
+            pr = R_pad - R
+            pconsts = {}
+            for nm in pnames:
+                v = np.asarray(self.consts[nm])
+                # pad with copies of the last row: a real reaction, so
+                # padded rows stay finite; their outputs are sliced off
+                pconsts[nm] = (np.concatenate(
+                    [v, np.repeat(v[-1:], pr, 0)]) if pr else v)
+            role_names = _tiled_role_spec(meta)
+            kernP = functools.partial(_kernel_dd_parts_tiled, meta,
+                                      pnames)
+            st_rows = {'N': N, '1': 1}
+
+            def parts_stage(st, B):
+                gridP = (B // block_b, R_pad // tile_r)
+                const_specsP = [
+                    pl.BlockSpec(
+                        (tile_r,) + pconsts[nm].shape[1:],
+                        (lambda nd: (lambda i, kk: (kk,) + (0,) *
+                                     (nd - 1)))(pconsts[nm].ndim),
+                        memory_space=pltpu.VMEM)
+                    for nm in pnames]
+                st_specs, st_args = [], []
+                for nm, kind in _TILED_ST_SPEC:
+                    st_specs += [pl.BlockSpec(
+                        (st_rows[kind], block_b),
+                        lambda i, kk: (0, i),
+                        memory_space=pltpu.VMEM)] * 2
+                    st_args += [st[nm].hi, st[nm].lo]
+                out_specsP = [pl.BlockSpec(
+                    (tile_r, block_b), lambda i, kk: (kk, i),
+                    memory_space=pltpu.VMEM)] * (2 * len(role_names))
+                out_shapeP = [jax.ShapeDtypeStruct((R_pad, B),
+                                                   jnp.float32)
+                              ] * (2 * len(role_names))
+                argsP = [jnp.asarray(pconsts[nm]) for nm in pnames]
+                with df.barrier_mode('xla' if self.interpret
+                                     else 'none'):
+                    outs = pl.pallas_call(
+                        kernP, grid=gridP, in_specs=const_specsP +
+                        st_specs, out_specs=out_specsP,
+                        out_shape=out_shapeP,
+                        interpret=self.interpret,
+                        compiler_params=pltpu.CompilerParams(
+                            vmem_limit_bytes=112 * 1024 * 1024,
+                            dimension_semantics=('arbitrary',
+                                                 'arbitrary')),
+                    )(*argsP, *st_args)
+                rp = {}
+                for idx, name in enumerate(role_names):
+                    rp[name] = DDA(outs[2 * idx][:R],
+                                   outs[2 * idx + 1][:R])
+                rp['vals_f'] = [rp.pop('vals_f%d' % s)
+                                for s in range(Sf)]
+                rp['vals_p'] = [rp.pop('vals_p%d' % s)
+                                for s in range(Sp)]
+                zero_R = ddx.zeros_like(rp['q'])
+                if 'psi_q' not in rp:
+                    rp['psi_q'] = zero_R
+                if 'xi_q' not in rp:
+                    rp['xi_q'] = zero_R
+                return rp
+
+            self.parts_stage = parts_stage
+
+            def tiled_stage(ydd: DDA, pdd: DDA, B):
+                """st pre-stage (XLA, barriered, (N, B)-only) + Mosaic
+                parts tiles + contractions/closure/compressed assembly
+                (XLA, barriered) — everything the column kernel
+                streams."""
+                with df.barrier_mode('xla'):
+                    st = _compute_state_thermo(meta, Call, ydd, pdd)
+                rp = parts_stage(st, B)
+                with df.barrier_mode('xla'):
+                    parts = _finish_dd(meta, Call, st, rp)
+                    if self.sparse_cols:
+                        p1c3 = _assemble_p1c(meta, SC, parts)
+                        parts['p1c'] = p1c3.reshape(
+                            SC['J_pad'] * SC['Rmax'], -1)
+                    out = []
+                    for name, _ in stream:
+                        if name.startswith('vals_f'):
+                            v = parts['vals_f'][int(name[6:])]
+                        elif name.startswith('vals_p'):
+                            v = parts['vals_p'][int(name[6:])]
+                        else:
+                            v = parts[name]
+                        out += [v.hi, v.lo]
+                    deep_cols = None
+                    if self.sparse_cols and len(SC['deep_cols']):
+                        u_vec = _cdd(Call, 'u_vec')
+                        winv = _cdd(Call, 'winv')
+                        specs = []
+                        for j in (int(d) for d in SC['deep_cols']):
+                            specs.append((np.float32(j),
+                                          DDA(winv.hi[0:1, j:j + 1],
+                                              winv.lo[0:1, j:j + 1]),
+                                          DDA(u_vec.hi[0:1, j:j + 1],
+                                              u_vec.lo[0:1, j:j + 1]),
+                                          DDA(parts['cp'].hi[j:j + 1],
+                                              parts['cp'].lo[j:j + 1])))
+                        deep_cols = ddx.concat0(
+                            [c.reshape(1, N, -1) for c in
+                             _column_block_dd(meta, Call, parts,
+                                              specs)])
+                return out, parts['col0'], parts['f_out'], deep_cols
+
         def call_tr(yh, yl, ph, plo):
             B = yh.shape[-1]
             grid = (B // block_b, n_jb)
-            with df.barrier_mode('xla'):
-                stream_vals, col0, f_out, deep_vals = xla_stage(
-                    DDA(yh, yl), DDA(ph, plo))
+            if parts_kernel:
+                stream_vals, col0, f_out, deep_vals = tiled_stage(
+                    DDA(yh, yl), DDA(ph, plo), B)
+            else:
+                with df.barrier_mode('xla'):
+                    stream_vals, col0, f_out, deep_vals = xla_stage(
+                        DDA(yh, yl), DDA(ph, plo))
 
             const_specs = [
                 pl.BlockSpec(self.kconsts[nm].shape,

@@ -156,22 +156,26 @@ class BatchEvaluator:
         from ..ops.pallas_dd import (PallasDDJacobian,
                                      PallasDDJacobianSparse)
 
-        if getattr(self, '_pjdd', None) is None:
+        # kernels are cached per block_b so later calls with a
+        # different tile are honored (advisor round-3 finding)
+        cache = getattr(self, '_pjdd_cache', None)
+        if cache is None:
+            cache = self._pjdd_cache = {}
+        if block_b not in cache:
             try:
                 # compressed fused-gather pipeline: the fastest parity-
                 # precision kernel (916k+ GRI evals/s vs 650k dense)
-                self._pjdd = PallasDDJacobianSparse(
+                pjk = PallasDDJacobianSparse(
                     self.packed, block_b=block_b, conp=self.conp,
                     fuse_gather=True)
             except NotImplementedError:
                 # deep (fractional-nu) columns or unsupported category
-                self._pjdd = PallasDDJacobian(self.packed,
-                                              block_b=block_b,
-                                              conp=self.conp)
-            self._pjdd_sum = jax.jit(
-                lambda a, b, c, d: sum(jnp.sum(x) for x in
-                                       self._pjdd.call_tr(a, b, c, d)))
-        pj = self._pjdd
+                pjk = PallasDDJacobian(self.packed, block_b=block_b,
+                                       conp=self.conp)
+            cache[block_b] = (pjk, jax.jit(
+                lambda a, b, c, d, _pjk=pjk: sum(
+                    jnp.sum(x) for x in _pjk.call_tr(a, b, c, d))))
+        pj, pj_sum = cache[block_b]
         y = np.asarray(y, np.float64)
         N = y.shape[-1]
         param = np.broadcast_to(np.asarray(param, np.float64),
@@ -189,9 +193,18 @@ class BatchEvaluator:
                     J_out[s:lo] = J[:lo - s]
                     f_out[s:lo] = f[:lo - s]
             return J_out, f_out
-        acc = []
+        # double-buffered streaming: chunk k+1's host split + H2D
+        # transfer run on a staging thread while chunk k computes —
+        # the reference's GPU capacity loop reads the next chunk on
+        # the host inside the loop too (tester.cu.in:110-138), and on
+        # this platform the host link is a ~60 MB/s tunnel, so serial
+        # stage->dispatch alternation wastes the device (round-3
+        # measured 60.6k evals/s vs 1.02M device-resident)
+        from concurrent.futures import ThreadPoolExecutor
+
         blk = max(pj.block_b, getattr(pj, 'block_b_cols', 0))
-        for s, e in self._chunks(ypad.shape[0]):
+
+        def stage(s, e):
             yc = ypad[s:e]
             pc = ppad[s:e]
             pad = (-len(yc)) % blk
@@ -202,9 +215,17 @@ class BatchEvaluator:
             yl = (yc.T - yh.astype(np.float64)).astype(np.float32)
             ph = pc[None].astype(np.float32)
             plo = (pc[None] - ph.astype(np.float64)).astype(np.float32)
-            acc.append(self._pjdd_sum(jnp.asarray(yh), jnp.asarray(yl),
-                                      jnp.asarray(ph),
-                                      jnp.asarray(plo)))
+            return tuple(jax.device_put(a) for a in (yh, yl, ph, plo))
+
+        chunks = list(self._chunks(ypad.shape[0]))
+        acc = []
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            fut = ex.submit(stage, *chunks[0])
+            for idx, (s, e) in enumerate(chunks):
+                args = fut.result()
+                if idx + 1 < len(chunks):
+                    fut = ex.submit(stage, *chunks[idx + 1])
+                acc.append(pj_sum(*args))
         return float(sum(float(a) for a in acc))
 
 
@@ -264,7 +285,8 @@ def sharded_step_dd(packed, mesh: Mesh, conp: bool = True,
 
 
 def sharded_jacobian_dd_xla(packed, mesh: Mesh, conp: bool = True,
-                            n_dyn: int = 8, fast_trace: bool = False):
+                            n_dyn: int = 8, fast_trace: bool = False,
+                            barriers: Optional[bool] = None):
     """Parity-precision dd Jacobian math under ``shard_map`` — runs on
     ANY mesh, including a virtual multi-device CPU mesh, because the
     XLA dd path needs no Pallas.  This is what the multi-chip dry run
@@ -273,20 +295,29 @@ def sharded_jacobian_dd_xla(packed, mesh: Mesh, conp: bool = True,
     the same step, :func:`sharded_step_dd`, needs a physical TPU per
     shard).  Inputs are plain (B, N) f64 states / (B,) parameters.
 
-    ``fast_trace``: trace the dd body without optimization barriers
-    AND with a scanned (``lax.map``) column loop.  XLA may then fold
-    error-free-transformation patterns and rewrite scan-body low-word
-    chains (degrading the low words toward plain f32), so this is for
-    *structural* dry runs only — the full barriered unrolled graph
-    jit-compiles >18 min on XLA:CPU under 8-way SPMD, and even the
-    barrier-free unrolled graph trips the slow-compile alarm."""
+    ``fast_trace``: trace the dd body with a scanned (``lax.map``)
+    column loop.  The graph shrinks ~N-fold and compiles orders of
+    magnitude faster, at some dd accuracy cost (XLA's scan-body
+    rewrites).
+
+    ``barriers``: keep the dd optimization barriers (default: barriers
+    off exactly when ``fast_trace`` is on, the historical coupling).
+    ``fast_trace=True, barriers=True`` is the *numerical validation*
+    mode: still-fast compile, and the barriers pin the dd chains so
+    the sharded result matches an identical unsharded trace to
+    ~1e-18 normalized (measured; barrier-free programs re-fuse
+    per-shape and drift ~2e-8 apart).  The full barriered unrolled
+    graph jit-compiles >18 min on XLA:CPU under 8-way SPMD — never
+    use ``fast_trace=False`` there."""
     from functools import partial as _partial
 
     from ..ops import doublefloat as df
     from ..ops.pallas_dd import jacobian_dd_xla
 
     sh = P('batch')
-    mode = 'none' if fast_trace else 'xla'
+    if barriers is None:
+        barriers = not fast_trace
+    mode = 'xla' if barriers else 'none'
 
     @jax.jit
     @_partial(jax.shard_map, mesh=mesh, in_specs=(sh, sh),

@@ -137,6 +137,13 @@ def _timed_eval(packed, method: str, y: np.ndarray, P: np.ndarray,
     yj = jnp.asarray(y, dtype=jdt)
     Pj = jnp.asarray(P, dtype=jdt)
 
+    if method in ('dd', 'dd-sparse'):
+        # parity-precision (double-float) methods: the headline kernels.
+        # On TPU these are the Pallas dd kernels; elsewhere the XLA dd
+        # path runs the identical math so the sweep works in CI
+        # (reference sweeps every generated config,
+        # performance_tester.py:280-301).
+        return _timed_eval_dd(packed, method, y, P, best_of)
     if method == 'ajac':
         fn = jax.jit(lambda p, yy: _checksum(
             jacobian_and_dydt(packed, 0.0, p, yy)))
@@ -167,6 +174,68 @@ def _timed_eval(packed, method: str, y: np.ndarray, P: np.ndarray,
     for _ in range(best_of):
         t0 = time.perf_counter()
         float(fn(Pj, yj))            # host sync via scalar transfer
+        best = min(best, time.perf_counter() - t0)
+    return best * 1e3
+
+
+def _timed_eval_dd(packed, method: str, y: np.ndarray, P: np.ndarray,
+                   best_of: int = 3) -> float:
+    """Timed pass through a parity-precision double-float path.
+
+    TPU: the Pallas dd kernels (dense or compressed fused-gather
+    sparse).  Other backends: the XLA dd path — same math, same
+    double-float arithmetic — so CI can sweep the method matrix.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    y64 = np.asarray(y, np.float64)
+    P64 = np.broadcast_to(np.asarray(P, np.float64), y64.shape[:1])
+
+    if jax.default_backend() != 'cpu':
+        from ..ops.pallas_dd import (PallasDDJacobian,
+                                     PallasDDJacobianSparse)
+        if method == 'dd-sparse':
+            pj = PallasDDJacobianSparse(packed, fuse_gather=True)
+        else:
+            pj = PallasDDJacobian(packed)
+        blk = max(pj.block_b, getattr(pj, 'block_b_cols', 0))
+        pad = (-len(y64)) % blk
+        if pad:
+            y64 = np.concatenate([y64, np.repeat(y64[-1:], pad, 0)], 0)
+            P64 = np.concatenate([P64, np.repeat(P64[-1:], pad, 0)], 0)
+        yh = y64.T.astype(np.float32)
+        yl = (y64.T - yh.astype(np.float64)).astype(np.float32)
+        ph = P64[None].astype(np.float32)
+        plo = (P64[None] - ph.astype(np.float64)).astype(np.float32)
+        args = tuple(map(jnp.asarray, (yh, yl, ph, plo)))
+        fn = jax.jit(lambda a, b, c, d: _checksum(pj.call_tr(a, b, c, d)))
+    else:
+        # CPU fallback: same dd math, executed EAGERLY — jitting the
+        # whole barriered dd graph sends XLA:CPU optimization into
+        # minutes/shape even at 6 species (the barrier-chain passes),
+        # while eager op-by-op execution avoids the monster compile
+        # entirely.  CPU numbers are structural (the product path is
+        # the TPU kernels); dd *accuracy* is validated by the golden
+        # tests and on-chip.
+        from ..ops.pallas_dd import (jacobian_dd_xla,
+                                     jacobian_dd_xla_sparse)
+        args = (jnp.asarray(P64), jnp.asarray(y64))
+        if method == 'dd-sparse':
+            def fn(p, yy):
+                return _checksum(jacobian_dd_xla_sparse(
+                    packed, p, yy, expanded=True))
+        else:
+            def fn(p, yy):
+                return _checksum(jacobian_dd_xla(packed, p, yy))
+
+    chk = float(fn(*args))               # compile + warm
+    if not np.isfinite(chk):
+        raise RuntimeError('non-finite checksum in %s timing' % method)
+    best = float('inf')
+    for _ in range(best_of):
+        t0 = time.perf_counter()
+        float(fn(*args))                 # host sync via scalar transfer
         best = min(best, time.perf_counter() - t0)
     return best * 1e3
 
@@ -256,7 +325,9 @@ def main(argv=None) -> int:
                         help='Directory with per-mechanism subfolders '
                              '(mechanism file + PaSR .npy).')
     parser.add_argument('-m', '--methods', nargs='+',
-                        default=['ajac'], choices=['ajac', 'ad', 'fd', 'pallas'])
+                        default=['ajac'],
+                        choices=['ajac', 'ad', 'fd', 'pallas', 'dd',
+                                 'dd-sparse'])
     parser.add_argument('-p', '--precisions', nargs='+',
                         default=['f64'], choices=['f64', 'f32'])
     parser.add_argument('-r', '--repeats', type=int, default=10)

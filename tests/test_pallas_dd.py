@@ -329,6 +329,85 @@ def test_big_kernel_sparse_traces(tmp_path):
     assert out[0].shape == (big.n_cols_pad, N, B)
 
 
+def test_big_kernel_parts_tiled_traces(tmp_path):
+    """Reaction-tiled Mosaic parts kernel (round-4: the 654-class
+    speed path — the barriered XLA parts stage was 79% of that pass).
+    Builds + traces with every shape[0]==R constant streamed by the
+    reaction grid axis; on-chip numerics via the verify skill."""
+    import jax
+
+    from pyjac_tpu.ops.pallas_dd import PallasDDJacobianBig
+
+    mech, packed = _synth_packed(tmp_path, n_species=21, n_reactions=60,
+                                 seed=11, gri_mix=True)
+    big = PallasDDJacobianBig(packed, block_b=128, jb=8, tile_r=16,
+                              sparse_cols=True, parts_kernel=True)
+    N = packed.n_species
+    B = 256
+    sh = jax.ShapeDtypeStruct((N, B), jnp.float32)
+    sp = jax.ShapeDtypeStruct((1, B), jnp.float32)
+    out = jax.eval_shape(big.call_tr, sh, sh, sp, sp)
+    assert out[0].shape == (big.n_cols_pad, N, B)
+    assert out[2].shape == (N, B)
+
+
+def test_parts_tiled_kernel_matches_xla_sections(tmp_path):
+    """The tiled parts kernel's role arrays (interpret mode) match the
+    identical `_compute_reaction_parts` section traced under plain
+    barriered XLA.  Interpret runs Mosaic kernels through XLA, whose
+    per-program fusion perturbs dd low words ~1e-11 relative (the
+    round-2 scan-context lesson); on real TPU hardware Mosaic performs
+    none of those rewrites, so this bounds kernel-body bugs while the
+    exactness claim is validated on-chip (docs/performance.md)."""
+    import jax
+
+    from pyjac_tpu.ops import doublefloat as df
+    from pyjac_tpu.ops.pallas_dd import (DDA, PallasDDJacobianBig,
+                                         _compute_reaction_parts,
+                                         _compute_state_thermo,
+                                         _tiled_role_spec)
+    from pyjac_tpu.testers.synthetic import random_states
+
+    mech, packed = _synth_packed(tmp_path, n_species=9, n_reactions=24,
+                                 seed=7, gri_mix=True)
+    big = PallasDDJacobianBig(packed, block_b=8, jb=8, tile_r=8,
+                              sparse_cols=True, parts_kernel=True,
+                              interpret=True)
+    meta = big.meta
+    Call = {k: jnp.asarray(v) for k, v in big.consts.items()}
+    y, _, P = random_states(mech, 16, seed=3)
+    y64 = y.astype(np.float64)
+    P64 = P.astype(np.float64)
+    yh = y64.T.astype(np.float32)
+    yl = (y64.T - yh.astype(np.float64)).astype(np.float32)
+    ph = P64[None].astype(np.float32)
+    plo = (P64[None] - ph.astype(np.float64)).astype(np.float32)
+    ydd = DDA(jnp.asarray(yh), jnp.asarray(yl))
+    pdd = DDA(jnp.asarray(ph), jnp.asarray(plo))
+
+    def ref():
+        with df.barrier_mode('xla'):
+            st = _compute_state_thermo(meta, Call, ydd, pdd)
+            rp = _compute_reaction_parts(meta, Call, st)
+        return st, rp
+
+    st, rp_ref = jax.jit(ref)()
+    rp_k = big.parts_stage(st, 16)
+    for nm in _tiled_role_spec(meta):
+        if nm.startswith('vals_f'):
+            a, b = (rp_k['vals_f'][int(nm[6:])],
+                    rp_ref['vals_f'][int(nm[6:])])
+        elif nm.startswith('vals_p'):
+            a, b = (rp_k['vals_p'][int(nm[6:])],
+                    rp_ref['vals_p'][int(nm[6:])])
+        else:
+            a, b = rp_k[nm], rp_ref[nm]
+        av = np.asarray(a.hi, np.float64) + np.asarray(a.lo, np.float64)
+        bv = np.asarray(b.hi, np.float64) + np.asarray(b.lo, np.float64)
+        s = max(np.abs(bv).max(), 1e-300)
+        assert np.abs(av - bv).max() / s < 5e-9, nm
+
+
 def _extreme_kc_mech(tmp_path, a5x=36000.0):
     """A+B<=>2X with extreme product thermo: kr = kf/Kc ~ 2.6e39
     overflows the f32 exponent range while every finished Jacobian
