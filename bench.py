@@ -39,14 +39,20 @@ def _split64_cols(x64):
 def bench_states(B):
     """The benchmark state ensemble, tiled to B states.
 
-    Physics-structured flagship states (tools/make_bench_states.py):
-    stream-sparsity exact zeros + damped-Newton relaxation toward
-    quasi-steady state — the reference benches on PaSR-sampled states
-    (performance_tester.py:316-338) and loops its fixed dataset; the
-    synthetic flagship's random thermo admits no PaSR time integration
-    (see the generator's docstring), so this ensemble reproduces the
-    structural properties instead. Falls back to uniform-random states
-    if the cached ensemble is missing.
+    Round 4: REAL PaSR states (tools/make_bench_states.py --pasr) —
+    the flagship mechanism is now thermodynamically consistent
+    (testers.synthetic.plausible_mechanism) and time-integrable, so
+    the ensemble comes from an actual PaSR trajectory exactly like the
+    reference's input pipeline (performance_tester.py:316-338 packs
+    PaSR .npy data), which loops its fixed dataset just as this tiles.
+    Falls back to uniform-random states if the cache is missing.
+
+    Accuracy-metric note (docs/performance.md): PaSR states sit near
+    chemical equilibrium, where net-rate entries cancel to ~1e-18 of
+    the norm; at 2^-48 dd precision the ||J||/1e20-floored metric is
+    dominated by sub-resolution entries (measured 0.72 — for ANY
+    2^-48 arithmetic), while honest gates hold: J norm-rel 2.5e-13,
+    floored@1e-10 4.5e-10, f norm-rel 5.2e-9 vs CPU true-f64.
     """
     import os
 
@@ -61,7 +67,8 @@ def bench_states(B):
         reps = -(-B // len(y0))
         y = np.tile(y0, (reps, 1))[:B]
         P = np.tile(P0, reps)[:B]
-        kind = 'structured(%d base)' % len(y0)
+        src = str(d['source']) if 'source' in d.files else 'structured'
+        kind = '%s(%d base)' % (src, len(y0))
     else:
         y, _, P = random_states(mech, B, seed=1,
                                 T_range=(1500.0, 2500.0))

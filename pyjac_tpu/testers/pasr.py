@@ -94,30 +94,50 @@ class _Chemistry:
         self._J = jax.jit(lambda y: eval_jacobian(
             packed, 0.0, jnp.full(y.shape[:-1], pres), y))
 
+    def _safe(self, z, n_part):
+        """Clip trial states into the thermo tables' validity range:
+        scipy's BDF probes states outside it during step-size control
+        (negative mass fractions, T beyond the NASA fit range), where
+        the polynomial exponentials produce non-finite values that
+        kill `lu_factor` — CVODE-style guarded RHS evaluation."""
+        y = np.array(z, dtype=np.float64).reshape(n_part, self.N)
+        y[:, 0] = np.clip(y[:, 0], 250.0, 6000.0)
+        y[:, 1:] = np.clip(y[:, 1:], 0.0, 1.0)
+        return y
+
     def rhs(self, t, z, n_part):
         import jax.numpy as jnp
-        y = z.reshape(n_part, self.N)
+        y = self._safe(z, n_part)
         return np.asarray(self._f(jnp.asarray(y))).ravel()
 
     def jac(self, t, z, n_part):
         import jax.numpy as jnp
         import scipy.linalg
-        y = z.reshape(n_part, self.N)
+        y = self._safe(z, n_part)
         J = np.asarray(self._J(jnp.asarray(y)))
         return scipy.linalg.block_diag(*J)
 
 
 def reaction_substep(chem: _Chemistry, particles: np.ndarray,
-                     dt: float) -> np.ndarray:
+                     dt: float,
+                     use_framework: Optional[bool] = None) -> np.ndarray:
     """Advance all particles' chemistry by dt (CONP).
 
     ``particles`` is (P, N+2): columns [h, P, Y_full...]; T is recovered
-    from enthalpy before integration and h is conserved by CONP."""
-    from scipy.integrate import solve_ivp
+    from enthalpy before integration and h is conserved by CONP.
 
+    ``use_framework``: integrate with the framework's own batched
+    stiff integrator (:func:`pyjac_tpu.integrate.integrate` — each
+    particle adapts its own step) instead of scipy's monolithic BDF.
+    Default: automatic for large systems — scipy factorises the dense
+    (P*N)^2 block-diagonal iteration matrix, O((P*N)^3) per step,
+    which is intractable at GRI scale (64 particles x 53 species =
+    a 3392^2 LU per Newton iteration on this 1-core host)."""
     packed = chem.packed
     n_part = len(particles)
     N = packed.n_species
+    if use_framework is None:
+        use_framework = n_part * N > 1024
     y0 = np.empty((n_part, N))
     for i, p in enumerate(particles):
         Y = p[2:]
@@ -126,12 +146,29 @@ def reaction_substep(chem: _Chemistry, particles: np.ndarray,
         y0[i, 0] = T
         y0[i, 1:] = Y[:-1]
 
-    sol = solve_ivp(chem.rhs, (0.0, dt), y0.ravel(),
-                    args=(n_part,), method='BDF', jac=chem.jac,
-                    rtol=1e-9, atol=1e-12, first_step=dt * 1e-6)
-    if not sol.success:
-        raise RuntimeError('PaSR reaction substep failed: ' + sol.message)
-    yf = sol.y[:, -1].reshape(n_part, N)
+    if use_framework:
+        import jax.numpy as jnp
+
+        from ..integrate import integrate
+        rtol, atol, max_steps = getattr(chem, 'tols',
+                                        (1e-7, 1e-11, 20000))
+        res = integrate(packed, jnp.asarray(y0),
+                        jnp.asarray(np.full(n_part, chem.pres)),
+                        float(dt), rtol=rtol, atol=atol,
+                        max_steps=max_steps)
+        yf = np.asarray(res.y)
+        if not np.isfinite(yf).all():
+            raise RuntimeError('PaSR reaction substep: non-finite '
+                               'framework-integrator state')
+    else:
+        from scipy.integrate import solve_ivp
+        sol = solve_ivp(chem.rhs, (0.0, dt), y0.ravel(),
+                        args=(n_part,), method='BDF', jac=chem.jac,
+                        rtol=1e-9, atol=1e-12, first_step=dt * 1e-6)
+        if not sol.success:
+            raise RuntimeError('PaSR reaction substep failed: '
+                               + sol.message)
+        yf = sol.y[:, -1].reshape(n_part, N)
     out = particles.copy()
     for i in range(n_part):
         Y = np.concatenate([yf[i, 1:], [1.0 - yf[i, 1:].sum()]])
@@ -253,7 +290,8 @@ def run_simulation(mech: Mechanism, case: str, init_temp: float,
                    num_res: int = 10, seed: Optional[int] = None,
                    verbose: bool = True,
                    inlet_X: Optional[np.ndarray] = None,
-                   pilot: Optional[tuple] = None) -> np.ndarray:
+                   pilot: Optional[tuple] = None,
+                   chem_tols: Optional[tuple] = None) -> np.ndarray:
     """Run a PaSR simulation; returns particle data
     [steps, particles, 3 + NSP] of (time, T, P, Y original order)
     (reference :745-948).
@@ -333,6 +371,11 @@ def run_simulation(mech: Mechanism, case: str, init_temp: float,
     particles = np.tile(stream_rows[-1], (num_part, 1))
 
     chem = _Chemistry(packed, P_pa)
+    if chem_tols is not None:
+        # (rtol, atol, max_steps) for the framework-integrator
+        # chemistry substep — sampling harnesses may trade tolerance
+        # for wall-clock
+        chem.tols = tuple(chem_tols)
     time = 0.0
     part_out = 0.0
     part_pair = 0.0

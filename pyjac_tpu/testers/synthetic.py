@@ -280,6 +280,159 @@ def synthetic_mechanism(n_species: int = 9, n_reactions: int = 24,
     return out.getvalue()
 
 
+def _plausible_thermo(name: str, elems, n_units: int, rng) -> str:
+    """NASA-7 entry with thermodynamically plausible coefficients for a
+    species of ``n_units`` CH2 polymer units: cp grows with molecular
+    size and stays positive over [300, 5000] K (rejection-sampled),
+    formation enthalpy is a bounded offset from the size-proportional
+    baseline (so balanced reactions have |dH| <~ 20 kJ/mol), and the
+    entropy constant scales with size."""
+    T = np.linspace(300.0, 5000.0, 48)
+    for _ in range(64):
+        a0 = 2.7 + 1.1 * n_units + rng.uniform(-0.15, 0.15)
+        a1 = n_units * rng.uniform(0.5e-3, 1.5e-3)
+        a2 = -n_units * rng.uniform(0.05e-6, 0.25e-6)
+        a3 = n_units * rng.uniform(0.005e-9, 0.04e-9)
+        a4 = -n_units * rng.uniform(0.002e-13, 0.02e-13)
+        a5 = -180.0 * n_units + rng.uniform(-600.0, 600.0)
+        a6 = 1.5 + 2.0 * n_units + rng.uniform(-0.8, 0.8)
+        lo = [a0, a1, a2, a3, a4, a5, a6]
+        hi = [a0 + rng.uniform(0.2, 0.6), a1 * rng.uniform(0.25, 0.5),
+              a2 * rng.uniform(0.1, 0.3), a3 * rng.uniform(0.1, 0.3),
+              a4 * rng.uniform(0.1, 0.3), a5 + rng.uniform(-40.0, 40.0),
+              a6 + rng.uniform(-0.6, 0.6)]
+        cp_lo = (lo[0] + lo[1] * T + lo[2] * T ** 2 + lo[3] * T ** 3 +
+                 lo[4] * T ** 4)
+        cp_hi = (hi[0] + hi[1] * T + hi[2] * T ** 2 + hi[3] * T ** 3 +
+                 hi[4] * T ** 4)
+        if (cp_lo > 1.5).all() and (cp_hi > 1.5).all():
+            break
+    comp = ''.join('{:<2s}{:>3d}'.format(el, n) for el, n in elems)
+    comp = comp.ljust(20)
+    line1 = '{:<18s}{:>6s}{}G{:>10.3f}{:>10.3f}{:>9.3f}{:>6s}1'.format(
+        name, '', comp, 300.0, 5000.0, 1000.0, '')
+    return '\n'.join([line1, _fmt_nasa_line(hi, 5) + '    2',
+                      _fmt_nasa_line(hi[5:7] + lo[0:3], 5) + '    3',
+                      _fmt_nasa_line(lo[3:7], 4) + '                   4'])
+
+
+def plausible_mechanism(n_species: int = 53, n_reactions: int = 325,
+                        seed: int = 42) -> str:
+    """GRI-proportioned mechanism that is **time-integrable** (PaSR
+    runs converge), unlike :func:`synthetic_mechanism`'s random thermo
+    (measured dT/dt ~ -1.6e21 K/s at mixed inlets).
+
+    Design for thermodynamic consistency (round-3 verdict item 8; the
+    reference benches on PaSR-sampled states,
+    pyjac/performance_tester/performance_tester.py:316-338):
+
+    * every non-inert species is a polymer of ``n_k`` CH2 units, so a
+      reaction is element-balanced iff it conserves the total unit
+      count — all generated reactions do;
+    * formation enthalpies are ``-180*n_k + delta_k`` with bounded
+      ``delta``: the size-proportional baseline cancels in every
+      balanced reaction, leaving |dH_rxn| <= ~20 kJ/mol — bounded heat
+      release, bounded |ln Kc|, no runaway;
+    * cp/S scale with molecular size and cp stays positive on
+      [300, 5000] K (rejection-sampled);
+    * category mix matches GRI-3.0 (~87% reversible elementary, ~6%
+      third-body, ~7% Troe/Lindemann falloff, one duplicate pair, no
+      PLOG/Chebyshev/SRI) — the same kernel paths as the flagship.
+    """
+    rng = np.random.default_rng(seed)
+    assert n_species >= 8
+    n_sp = n_species - 1                    # last species is inert N2
+    names = ['SP{}'.format(k) for k in range(n_sp)] + ['N2']
+    # sizes 1..4 with all sizes represented
+    sizes = np.asarray([1 + (k % 4) for k in range(n_sp)])
+    rng.shuffle(sizes)
+    by_size = {s: [names[k] for k in range(n_sp) if sizes[k] == s]
+               for s in (1, 2, 3, 4)}
+    size_of = {names[k]: int(sizes[k]) for k in range(n_sp)}
+
+    out = io.StringIO()
+    out.write('ELEMENTS\nH C N\nEND\n')
+    out.write('SPECIES\n' + ' '.join(names) + '\nEND\n')
+    out.write('THERMO ALL\n   300.000  1000.000  5000.000\n')
+    for k, nm in enumerate(names):
+        if nm == 'N2':
+            out.write(_plausible_thermo(nm, [('N', 2)], 2, rng) + '\n')
+        else:
+            n_u = int(sizes[k])
+            out.write(_plausible_thermo(
+                nm, [('C', n_u), ('H', 2 * n_u)], n_u, rng) + '\n')
+    out.write('END\n')
+
+    def pick_size(s):
+        return by_size[s][int(rng.integers(0, len(by_size[s])))]
+
+    def exchange():
+        """A+B<=>C+D conserving total unit count."""
+        na = int(rng.integers(1, 4))
+        nb = int(rng.integers(1, 4))
+        tot = na + nb
+        parts = [(p, tot - p) for p in (1, 2, 3, 4)
+                 if 1 <= tot - p <= 4]
+        nc, nd = parts[int(rng.integers(0, len(parts)))]
+        return (pick_size(na), pick_size(nb), pick_size(nc),
+                pick_size(nd))
+
+    def assoc():
+        """A+B -> C with n_C = n_A + n_B (<= 4)."""
+        na = int(rng.integers(1, 3))
+        nb = int(rng.integers(1, 5 - na))
+        return pick_size(na), pick_size(nb), pick_size(na + nb)
+
+    def arr(lo=10.0, hi=13.3, bl=-0.7, bh=1.2, el=0.0, eh=45000.0):
+        return (10.0 ** rng.uniform(lo, hi), rng.uniform(bl, bh),
+                rng.uniform(el, eh))
+
+    lines: List[str] = []
+
+    def w(eq, A, b, E, extra: Optional[List[str]] = None):
+        lines.append('{:<40s}{:>10.3E}{:>9.3f}{:>12.2f}'.format(
+            eq, A, b, E))
+        if extra:
+            lines.extend(extra)
+
+    a_, b_, c_, d_ = exchange()
+    A, b, E = arr()
+    w('{}+{}<=>{}+{}'.format(a_, b_, c_, d_), A, b, E, [' DUPLICATE'])
+    w('{}+{}<=>{}+{}'.format(a_, b_, c_, d_), A / 5, b, E * 1.05,
+      [' DUPLICATE'])
+    count = 2
+    while count < n_reactions:
+        kind = float(rng.integers(0, 100)) / 10.0
+        if kind < 8.7:
+            a_, b_, c_, d_ = exchange()
+            A, b, E = arr()
+            w('{}+{}<=>{}+{}'.format(a_, b_, c_, d_), A, b, E)
+        elif kind < 9.3:
+            a_, b_, c_ = assoc()
+            A, b, E = arr(lo=11.0, hi=14.0, el=0.0, eh=8000.0)
+            w('{}+{}+M<=>{}+M'.format(a_, b_, c_), A / 1e3, b, E,
+              ['{}/{:.2f}/ {}/{:.2f}/'.format(
+                  'N2', rng.uniform(0.5, 2.0),
+                  pick_size(1), rng.uniform(0.5, 3.0))])
+        else:
+            a_, b_, c_ = assoc()
+            A, b, E = arr(lo=11.0, hi=13.5, bl=-1.0, bh=0.5, el=0.0,
+                          eh=8000.0)
+            extra = ['LOW / {:.3E} {:.3f} {:.1f} /'.format(
+                A * 10.0 ** rng.uniform(2.5, 3.5), b - 1.0, E / 2)]
+            if rng.random() < 0.7:
+                extra.append('TROE / {:.3f} {:.1f} {:.1f} /'.format(
+                    rng.uniform(0.3, 0.9), rng.uniform(80.0, 300.0),
+                    rng.uniform(1000.0, 3000.0)))
+            w('{}+{}(+M)<=>{}(+M)'.format(a_, b_, c_), A, b, E, extra)
+        count += 1
+
+    out.write('REACTIONS\n')
+    out.write('\n'.join(lines))
+    out.write('\nEND\n')
+    return out.getvalue()
+
+
 def random_states(mech, n_states: int, seed: int = 0,
                   T_range=(800.0, 2500.0), P_range=(0.5e5, 5e5)):
     """Random thermochemical state batch for a mechanism.

@@ -43,10 +43,17 @@ def main(argv=None):
     ap.add_argument('--n', type=int, default=4096)
     ap.add_argument('--seed', type=int, default=7)
     ap.add_argument('--newton', type=int, default=3)
+    ap.add_argument('--pasr', action='store_true',
+                    help='sample states from an actual PaSR run '
+                         '(requires the time-integrable plausible '
+                         'flagship; the BASELINE metric is "1M PaSR '
+                         'states")')
     ap.add_argument('--out', default=os.path.join(
         os.path.dirname(__file__), '..', 'tests', 'data',
         'flagship_states.npz'))
     args = ap.parse_args(argv)
+    if args.pasr:
+        return main_pasr(args)
 
     import jax
     jax.config.update('jax_platforms', 'cpu')
@@ -116,6 +123,110 @@ def main(argv=None):
                               y[:, 0].min(), y[:, 0].max()))
     np.savez_compressed(args.out, y=y, P=P, seed=args.seed,
                         newton=args.newton)
+    print('wrote %s (%.1f MB)' % (args.out,
+                                  os.path.getsize(args.out) / 1e6))
+
+
+def main_pasr(args):
+    """Sample the bench ensemble from a PaSR trajectory — the
+    reference's own input pipeline (PaSR .npy -> data.bin,
+    performance_tester.py:316-338).  Runs the framework's PaSR
+    (testers/pasr.py, premixed case) on the flagship mechanism with a
+    direct inlet composition (the synthetic species set has no literal
+    fuel/O2 pair) and a hot inlet-composition pilot, then samples
+    ``--n`` particle states across the trajectory's frames."""
+    import jax
+    jax.config.update('jax_platforms', 'cpu')
+    jax.config.update('jax_enable_x64', True)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from __graft_entry__ import _flagship_packed
+    from pyjac_tpu.ops.dydt import dydt
+    from pyjac_tpu.ops.jacobian import eval_jacobian
+    from pyjac_tpu.testers import pasr
+
+    mech, packed = _flagship_packed()
+    N = packed.n_species
+    rng = np.random.default_rng(args.seed)
+
+    # inlet: a handful of small species diluted in N2 (mole fractions,
+    # original species order == internal order pre-pivot)
+    names = list(mech.species_names)
+    X = np.zeros(N)
+    small = [i for i, nm in enumerate(names) if nm != 'N2'][:6]
+    for i in small:
+        X[i] = rng.uniform(0.05, 0.15)
+    X[names.index('N2')] = 1.0 - X.sum() if X.sum() < 0.7 else 0.3
+    X = X / X.sum()
+    Y_react = pasr.mole_to_mass_fracs(packed, X)
+
+    # pilot: the hot inlet relaxed onto the kinetic manifold with the
+    # framework's own stiff integrator (scipy's BDF inside the PaSR
+    # chemistry substep NaNs if particles start at the raw mixed
+    # composition — the initial |dydt| is ~1e16)
+    from pyjac_tpu.integrate import integrate
+    fw = np.asarray(mech.fwd_spec_mapping)
+    y_cur = np.concatenate([[1900.0], Y_react[fw][:-1]])[None]
+    P_pa = 10.0 * 101325.0
+    # staged horizons: the raw mixed inlet sits ~5e16 K/s off the
+    # manifold; restarting the integrator at growing horizons walks
+    # through the transient (measured: T 1900 -> ~1130 K, then steady)
+    for horizon, steps in ((1e-7, 2000), (1e-6, 2000), (1e-5, 5000),
+                           (1e-4, 10000), (2e-3, 20000)):
+        res = integrate(packed, jnp.asarray(y_cur), jnp.asarray([P_pa]),
+                        horizon, rtol=1e-6, atol=1e-12,
+                        max_steps=steps)
+        y_cur = np.asarray(res.y)
+    yp = y_cur[0]
+    assert np.isfinite(yp).all() and int(np.asarray(res.status)[0]) == 0
+    T_pilot = float(yp[0])
+    # stream rows hold mass fractions in INTERNAL (packed) order, like
+    # mole_to_mass_fracs output
+    Y_pilot = np.concatenate([yp[1:], [1.0 - yp[1:].sum()]])
+    print('pilot relaxed: T = %.1f K' % T_pilot)
+
+    # inlet: micro-relax the raw mix at the inlet temperature so
+    # arriving particles start within scipy-BDF reach of the manifold
+    # (still unburned: 1 us at 1000 K only damps the fastest modes)
+    y_in = np.concatenate([[1000.0], Y_react[fw][:-1]])[None]
+    for horizon, steps in ((1e-8, 2000), (1e-7, 2000), (1e-6, 5000)):
+        res_in = integrate(packed, jnp.asarray(y_in),
+                           jnp.asarray([P_pa]), horizon, rtol=1e-6,
+                           atol=1e-12, max_steps=steps)
+        y_in = np.asarray(res_in.y)
+    assert np.isfinite(y_in).all()
+    Y_in_int = np.concatenate([y_in[0, 1:],
+                               [1.0 - y_in[0, 1:].sum()]])
+    X_in = Y_in_int * np.asarray(packed.inv_mw)
+    X_in = X_in / X_in.sum()
+    print('inlet micro-relaxed: T drift %.1f K' % (y_in[0, 0] - 1000.0))
+
+    data = pasr.run_simulation(
+        mech, 'premixed', init_temp=1000.0, pres=10.0, eq_ratio=1.0,
+        fuel={}, oxidizer={}, num_part=96, tau_res=2e-3, tau_mix=1e-3,
+        tau_pair=1e-3, num_res=2, seed=args.seed, verbose=True,
+        inlet_X=X_in, pilot=(T_pilot, Y_pilot),
+        chem_tols=(1e-5, 1e-9, 3000))
+    frames = data.reshape(-1, data.shape[-1])    # (t, T, P, Y orig)
+    print('PaSR frames: %s -> %d states' % (data.shape, len(frames)))
+
+    sel = rng.choice(len(frames), size=min(args.n, len(frames)),
+                     replace=len(frames) < args.n)
+    fw = np.asarray(mech.fwd_spec_mapping)
+    T = frames[sel, 1]
+    P = frames[sel, 2]
+    Yint = frames[sel, 3:][:, fw]
+    y = np.concatenate([T[:, None], Yint[:, :-1]], axis=1)
+
+    f = np.asarray(dydt(packed, 0.0, jnp.asarray(P), jnp.asarray(y)))
+    J = np.asarray(eval_jacobian(packed, 0.0, jnp.asarray(P),
+                                 jnp.asarray(y)))
+    assert np.isfinite(f).all() and np.isfinite(J).all()
+    print('states: %d, T %.0f..%.0f K, max|dT/dt| %.3e K/s' %
+          (len(y), T.min(), T.max(), np.abs(f[:, 0]).max()))
+    np.savez_compressed(args.out, y=y, P=P, seed=args.seed,
+                        source='pasr')
     print('wrote %s (%.1f MB)' % (args.out,
                                   os.path.getsize(args.out) / 1e6))
 
