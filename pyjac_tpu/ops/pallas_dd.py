@@ -106,12 +106,19 @@ def _dd_entries(name, dd: DDA, consts):
 
 
 def _consts_dd(packed, conp=True, n_dyn=8, ext_gather=False,
-               log_rates=False):
+               log_rates=False, compact_pdep=False):
     """Constant tensors (numpy) + static meta for the dd kernel.
 
     Layout mirrors pallas_jacobian._consts: per-reaction values (R, 1),
     per-species (N, 1) or (N, k) tables, one-hot gather/scatter mats in
     f32, everything precision-critical as dd pairs or exact slices.
+
+    ``compact_pdep``: evaluate the falloff/chemact machinery on the
+    compact pdep row set (one-hot gather in, one-hot scatter out)
+    instead of dense-masked over all R rows — a large stage-A saving
+    when pdep rows are a small fraction (GRI mix: 26/325).  Not
+    compatible with the reaction-tiled parts kernel (the gathers span
+    the full R axis), so :class:`PallasDDJacobianBig` leaves it off.
     """
     N = packed.n_species
     R = packed.n_reactions
@@ -261,35 +268,109 @@ def _consts_dd(packed, conp=True, n_dyn=8, ext_gather=False,
         pd_onehot[rows, np.maximum(pd[rows], 0)] = 1.0
         if not ext_gather:
             consts['pd_onehot'] = pd_onehot
-        consts['spec_mask'] = f32(pd >= 0)[:, None]
         consts['thd_mask'] = f32(packed.thd_only_mask)[:, None]
-        consts['fall_mask'] = f32(packed.falloff_mask)[:, None]
-        consts['chem_mask'] = f32(packed.chemact_mask)[:, None]
         consts['pdep_mask'] = f32(packed.falloff_mask |
                                   packed.chemact_mask)[:, None]
-        _dd_entries('low_logA', _ddc(col(packed.low_logA)), consts)
-        _dd_entries('low_beta', _ddc(col(packed.low_beta)), consts)
-        _dd_entries('low_Ta', _ddc(col(packed.low_Ta)), consts)
-        _dd_entries('high_logA', _ddc(col(packed.high_logA)), consts)
-        _dd_entries('high_beta', _ddc(col(packed.high_beta)), consts)
-        _dd_entries('high_Ta', _ddc(col(packed.high_Ta)), consts)
+        pdep_rows = np.where(np.asarray(packed.falloff_mask) |
+                             np.asarray(packed.chemact_mask))[0]
+        meta['has_pdep_rows'] = bool(len(pdep_rows))
         troe = packed.troe_mask
-        consts['troe_mask'] = f32(troe)[:, None]
-        consts['troe_has2'] = f32(packed.troe_has_T2)[:, None]
-        _dd_entries('troe_a', _ddc(col(packed.troe_par[:, 0])), consts)
-        _dd_entries('troe_iT3', _ddc(col(
-            1.0 / np.where(troe, packed.troe_par[:, 1], 1.0))), consts)
-        _dd_entries('troe_iT1', _ddc(col(
-            1.0 / np.where(troe, packed.troe_par[:, 2], 1.0))), consts)
-        _dd_entries('troe_T2', _ddc(col(packed.troe_par[:, 3])), consts)
+        troe_iT3 = 1.0 / np.where(troe, packed.troe_par[:, 1], 1.0)
+        troe_iT1 = 1.0 / np.where(troe, packed.troe_par[:, 2], 1.0)
         sri = packed.sri_mask
-        consts['sri_mask'] = f32(sri)[:, None]
-        _dd_entries('sri_a', _ddc(col(packed.sri_par[:, 0])), consts)
-        _dd_entries('sri_b', _ddc(col(packed.sri_par[:, 1])), consts)
-        _dd_entries('sri_ic', _ddc(col(
-            1.0 / np.where(sri, packed.sri_par[:, 2], 1.0))), consts)
-        _dd_entries('sri_d', _ddc(col(packed.sri_par[:, 3])), consts)
-        _dd_entries('sri_e', _ddc(col(packed.sri_par[:, 4])), consts)
+        sri_ic = 1.0 / np.where(sri, packed.sri_par[:, 2], 1.0)
+        use_compact = (compact_pdep and len(pdep_rows) and
+                       -(-len(pdep_rows) // 8) * 8 < R)
+        meta['compact_pdep'] = bool(use_compact)
+        if use_compact:
+            # falloff/chemact machinery evaluates on this compact row
+            # set only (the PLOG/Chebyshev scatter economy applied to
+            # pressure modification): pad to a sublane multiple with
+            # repeats of the first real row (finite math on the pads;
+            # 'pdc_valid' zeroes them before the scatter matmul)
+            Rp = -(-len(pdep_rows) // 8) * 8
+            rows_c = np.concatenate(
+                [pdep_rows,
+                 np.full(Rp - len(pdep_rows), pdep_rows[0], np.int64)])
+            meta['R_pdc'] = int(Rp)
+            gat = np.zeros((Rp, R), np.float32)
+            gat[np.arange(Rp), rows_c] = 1.0
+            scat_c = np.zeros((R, Rp), np.float32)
+            scat_c[rows_c[:len(pdep_rows)],
+                   np.arange(len(pdep_rows))] = 1.0
+            consts['pdc_gather'] = gat
+            consts['pdc_scat'] = scat_c
+            valid = np.zeros((Rp, 1), np.float32)
+            valid[:len(pdep_rows)] = 1.0
+            consts['pdc_valid'] = valid
+            sub = lambda a: np.asarray(a)[rows_c]
+            consts['pdc_spec_mask'] = f32(sub(pd) >= 0)[:, None]
+            consts['pdc_fall_mask'] = f32(sub(packed.falloff_mask)
+                                          )[:, None]
+            consts['pdc_chem_mask'] = f32(sub(packed.chemact_mask)
+                                          )[:, None]
+            _dd_entries('pdc_low_logA', _ddc(col(sub(packed.low_logA))),
+                        consts)
+            _dd_entries('pdc_low_beta', _ddc(col(sub(packed.low_beta))),
+                        consts)
+            _dd_entries('pdc_low_Ta', _ddc(col(sub(packed.low_Ta))),
+                        consts)
+            if packed.has_chemact:
+                _dd_entries('pdc_high_logA',
+                            _ddc(col(sub(packed.high_logA))), consts)
+                _dd_entries('pdc_high_beta',
+                            _ddc(col(sub(packed.high_beta))), consts)
+                _dd_entries('pdc_high_Ta',
+                            _ddc(col(sub(packed.high_Ta))), consts)
+            if packed.has_troe:
+                consts['pdc_troe_mask'] = f32(sub(troe))[:, None]
+                consts['pdc_troe_has2'] = f32(sub(packed.troe_has_T2)
+                                              )[:, None]
+                _dd_entries('pdc_troe_a',
+                            _ddc(col(sub(packed.troe_par[:, 0]))),
+                            consts)
+                _dd_entries('pdc_troe_iT3', _ddc(col(sub(troe_iT3))),
+                            consts)
+                _dd_entries('pdc_troe_iT1', _ddc(col(sub(troe_iT1))),
+                            consts)
+                _dd_entries('pdc_troe_T2',
+                            _ddc(col(sub(packed.troe_par[:, 3]))),
+                            consts)
+            if packed.has_sri:
+                consts['pdc_sri_mask'] = f32(sub(sri))[:, None]
+                _dd_entries('pdc_sri_a',
+                            _ddc(col(sub(packed.sri_par[:, 0]))), consts)
+                _dd_entries('pdc_sri_b',
+                            _ddc(col(sub(packed.sri_par[:, 1]))), consts)
+                _dd_entries('pdc_sri_ic', _ddc(col(sub(sri_ic))), consts)
+                _dd_entries('pdc_sri_d',
+                            _ddc(col(sub(packed.sri_par[:, 3]))), consts)
+                _dd_entries('pdc_sri_e',
+                            _ddc(col(sub(packed.sri_par[:, 4]))), consts)
+            if packed.has_specific_pdep_sp and not ext_gather:
+                consts['pdc_onehot'] = pd_onehot[rows_c]
+        elif meta['has_pdep_rows']:
+            consts['spec_mask'] = f32(pd >= 0)[:, None]
+            consts['fall_mask'] = f32(packed.falloff_mask)[:, None]
+            consts['chem_mask'] = f32(packed.chemact_mask)[:, None]
+            _dd_entries('low_logA', _ddc(col(packed.low_logA)), consts)
+            _dd_entries('low_beta', _ddc(col(packed.low_beta)), consts)
+            _dd_entries('low_Ta', _ddc(col(packed.low_Ta)), consts)
+            _dd_entries('high_logA', _ddc(col(packed.high_logA)), consts)
+            _dd_entries('high_beta', _ddc(col(packed.high_beta)), consts)
+            _dd_entries('high_Ta', _ddc(col(packed.high_Ta)), consts)
+            consts['troe_mask'] = f32(troe)[:, None]
+            consts['troe_has2'] = f32(packed.troe_has_T2)[:, None]
+            _dd_entries('troe_a', _ddc(col(packed.troe_par[:, 0])), consts)
+            _dd_entries('troe_iT3', _ddc(col(troe_iT3)), consts)
+            _dd_entries('troe_iT1', _ddc(col(troe_iT1)), consts)
+            _dd_entries('troe_T2', _ddc(col(packed.troe_par[:, 3])), consts)
+            consts['sri_mask'] = f32(sri)[:, None]
+            _dd_entries('sri_a', _ddc(col(packed.sri_par[:, 0])), consts)
+            _dd_entries('sri_b', _ddc(col(packed.sri_par[:, 1])), consts)
+            _dd_entries('sri_ic', _ddc(col(sri_ic)), consts)
+            _dd_entries('sri_d', _ddc(col(packed.sri_par[:, 3])), consts)
+            _dd_entries('sri_e', _ddc(col(packed.sri_par[:, 4])), consts)
 
     # --- PLOG / Chebyshev gathered-row constants ---------------------------
     if packed.has_plog:
@@ -707,6 +788,157 @@ def _compute_dd(meta, C, y: DDA, P_in: DDA, pre: dict = None):
     return _finish_dd(meta, C, st, rp)
 
 
+def _pdep_falloff_vals(meta, C, pre, st, kf, dlnkf_dT, thd, m_tb):
+    """Falloff / chemically-activated modification values on a row set.
+
+    ``pre`` selects the constant namespace: ``''`` evaluates on the
+    full (R, B) row layout (every mechanism row, masked — the original
+    dense form), ``'pdc_'`` on the compact pdep row set built by
+    ``_consts_dd(compact_pdep=True)`` (arrays (Rp, B), Rp = padded
+    falloff+chemact row count).  ``kf``/``dlnkf_dT``/``thd`` must
+    already be on that row set; (1, B) state quantities broadcast.
+
+    Returns ``(pm, dpm_dT, c_u_pm, psi, xi)`` — the Lindemann/Troe/SRI
+    blending (reference: pyjac/core/rate_subs.py:1209-1437 falloff
+    branch of get_rxn_pres_mod + create_jacobian.py pressure-mod
+    derivative terms), NOT yet combined with the pdep row mask.
+    """
+    conp = meta['conp']
+    T, logT, invT = st['T'], st['logT'], st['invT']
+    rho, mw_avg = st['rho'], st['mw_avg']
+    cd = lambda nm: _cdd(C, pre + nm)
+    cm = lambda nm: C[pre + nm]
+
+    fmask = cm('fall_mask') > 0.5
+    k0_arr = ddx.exp(cd('low_logA') + cd('low_beta') * logT -
+                     cd('low_Ta') * invT)
+    k0 = ddx.where(fmask, k0_arr, kf)
+    dlnk0 = ddx.where(fmask,
+                      (cd('low_beta') + cd('low_Ta') * invT) * invT,
+                      dlnkf_dT)
+    if meta['has_chemact']:
+        cmask = cm('chem_mask') > 0.5
+        kinf_arr = ddx.exp(cd('high_logA') + cd('high_beta') * logT -
+                           cd('high_Ta') * invT)
+        kinf = ddx.where(cmask, kinf_arr, kf)
+        dlnkinf = ddx.where(cmask,
+                            (cd('high_beta') +
+                             cd('high_Ta') * invT) * invT, dlnkf_dT)
+    else:
+        kinf = kf
+        dlnkinf = dlnkf_dT
+    if meta['has_spec_pdep']:
+        if pre:
+            # compact rows: gather the pdep-species concentration from
+            # whatever full-R/(N,B) source this trace has available
+            if meta.get('ext_gather'):
+                c_pd = ddx.gather_dot(C['pdc_gather'], _cdd(C, 'cpd'))
+            else:
+                c_pd = ddx.gather_dot(C['pdc_onehot'], st['conc'])
+        elif meta.get('ext_gather'):
+            c_pd = _cdd(C, 'cpd')
+        else:
+            c_pd = ddx.gather_dot(C['pd_onehot'], st['conc'])
+        sm = cm('spec_mask')
+        X = ddx.where(sm > 0.5, c_pd, thd)
+    else:
+        sm = jnp.zeros_like(kf.hi)
+        X = thd
+    ratio = k0 / kinf
+    Pr = ratio * X
+    Prf = _tiny_floor(Pr)
+    L = ddx.log(Prf) * _ILN10
+    dL_dPr = ddx.where(Pr.hi > _TINY32, _ILN10 * ddx.recip(Prf),
+                       ddx.zeros_like(Pr))
+    F = ddx.wrap(jnp.ones_like(kf.hi))
+    dF_dT = ddx.zeros_like(Pr)
+    dF_dL = ddx.zeros_like(Pr)
+    if meta['has_troe']:
+        tmask = cm('troe_mask') > 0.5
+        a_t = cd('troe_a')
+        iT3 = cd('troe_iT3')
+        iT1 = cd('troe_iT1')
+        e3 = ddx.exp(-(T * iT3))
+        e1 = ddx.exp(-(T * iT1))
+        Fc = (1.0 - a_t) * e3 + a_t * e1
+        dFc = -((1.0 - a_t) * iT3 * e3) - a_t * iT1 * e1
+        if meta['has_troe2']:
+            T2 = cd('troe_T2')
+            e2 = ddx.exp(-(T2 * invT))
+            h2 = cm('troe_has2')
+            Fc = Fc + _mask_mul(e2, h2)
+            dFc = dFc + _mask_mul(T2 * invT * invT * e2, h2)
+        Fcf = _tiny_floor(Fc)
+        cc = ddx.log(Fcf) * _ILN10
+        dcc = ddx.where(Fc.hi > _TINY32,
+                        dFc * _ILN10 * ddx.recip(Fcf),
+                        ddx.zeros_like(Fc))
+        A_ = L - _C067 * cc - _C04
+        B_ = _C0806 - _C11762 * cc - _C014 * L
+        # division-free form of g = 1/(1 + (A/B)^2): B_ crosses
+        # zero at some states, and unlike IEEE f32/f64 (inf -> g=0
+        # gracefully), dd division turns the inf into NaN
+        # (inf - inf in the correction term)
+        denom = _tiny_floor(A_ * A_ + B_ * B_)
+        iden = ddx.recip(denom)
+        g = B_ * B_ * iden
+        Ft = ddx.exp(_LN10 * (cc * g))
+        two_ab = (2.0 * A_) * B_ * (iden * iden)
+        dg_dc = -(two_ab * ((-_C067) * B_ + _C11762 * A_))
+        dg_dL = -(two_ab * (B_ + _C014 * A_))
+        F = ddx.where(tmask, Ft, F)
+        dF_dT = ddx.where(tmask,
+                          Ft * _LN10 * (g + cc * dg_dc) * dcc, dF_dT)
+        dF_dL = ddx.where(tmask, Ft * _LN10 * (cc * dg_dL), dF_dL)
+    if meta['has_sri']:
+        smask = cm('sri_mask') > 0.5
+        b_s = cd('sri_b')
+        ic_s = cd('sri_ic')
+        a_s = cd('sri_a')
+        eb = ddx.exp(-(b_s * invT))
+        ec = ddx.exp(-(T * ic_s))
+        base = _tiny_floor(a_s * eb + ec)
+        Xs = ddx.recip(1.0 + L * L)
+        lbase = ddx.log(base)
+        Fs = (ddx.exp(Xs * lbase) * cd('sri_d') *
+              ddx.exp(cd('sri_e') * logT))
+        dbase = a_s * b_s * invT * invT * eb - ec * ic_s
+        F = ddx.where(smask, Fs, F)
+        dF_dT = ddx.where(smask,
+                          Fs * (Xs * dbase * ddx.recip(base) +
+                                cd('sri_e') * invT), dF_dT)
+        dF_dL = ddx.where(smask,
+                          Fs * lbase * (-(2.0 * L) * (Xs * Xs)),
+                          dF_dL)
+
+    i1Pr = ddx.recip(1.0 + Pr)
+    G_ = ddx.where(fmask, Pr * i1Pr, i1Pr)
+    sgn = jnp.where(fmask, _F1, np.float32(-1.0))
+    dG_dPr = _mask_mul(i1Pr * i1Pr, sgn)
+    Phi = F * dG_dPr + G_ * dF_dL * dL_dPr
+    if conp:
+        dPr_dT = Pr * (dlnk0 - dlnkinf - invT)
+    else:
+        dPr_dT = Pr * (dlnk0 - dlnkinf)
+    pm_p = F * G_
+    dpm_p = G_ * dF_dT + Phi * dPr_dT
+    if conp:
+        cu_mix = -(mw_avg * (thd - m_tb))
+    else:
+        cu_mix = rho.broadcast_to(thd.shape)
+    if meta['has_spec_pdep']:
+        cu_spec = (-(mw_avg * X)) if conp else ddx.zeros_like(X)
+        cu_X = ddx.where(sm > 0.5, cu_spec, cu_mix)
+    else:
+        cu_X = cu_mix
+    cu_p = Phi * ratio * cu_X
+    rho_b = rho.broadcast_to(kf.shape)
+    psi_p = ddx.where(sm > 0.5, ddx.zeros_like(kf), Phi * ratio * rho_b)
+    xi_p = (ddx.where(sm > 0.5, Phi * ratio * rho_b, ddx.zeros_like(kf))
+            if meta['has_spec_pdep'] else ddx.zeros_like(kf))
+    return pm_p, dpm_p, cu_p, psi_p, xi_p
+
+
 def _compute_reaction_parts(meta, C, st: dict) -> dict:
     """Per-reaction section of :func:`_compute_dd`: rate constants,
     equilibrium, pressure modification and the per-slot assembly
@@ -1006,139 +1238,44 @@ def _compute_reaction_parts(meta, C, st: dict) -> dict:
             c_u_pm = c_u_pm + _mask_mul(rho.broadcast_to(kf.shape), tm)
         psi = psi + _mask_mul(rho.broadcast_to(kf.shape), tm)
 
-        fall = C['fall_mask']
-        chem = C['chem_mask']
-        pdep = C['pdep_mask']
-        fmask = fall > 0.5
-        k0_arr = ddx.exp(_cdd(C, 'low_logA') +
-                         _cdd(C, 'low_beta') * logT -
-                         _cdd(C, 'low_Ta') * invT)
-        k0 = ddx.where(fmask, k0_arr, kf)
-        dlnk0 = ddx.where(fmask,
-                          (_cdd(C, 'low_beta') +
-                           _cdd(C, 'low_Ta') * invT) * invT, dlnkf_dT)
-        if meta['has_chemact']:
-            cmask = chem > 0.5
-            kinf_arr = ddx.exp(_cdd(C, 'high_logA') +
-                               _cdd(C, 'high_beta') * logT -
-                               _cdd(C, 'high_Ta') * invT)
-            kinf = ddx.where(cmask, kinf_arr, kf)
-            dlnkinf = ddx.where(cmask,
-                                (_cdd(C, 'high_beta') +
-                                 _cdd(C, 'high_Ta') * invT) * invT,
-                                dlnkf_dT)
-        else:
-            kinf = kf
-            dlnkinf = dlnkf_dT
-        if meta['has_spec_pdep']:
-            if meta.get('ext_gather'):
-                c_pd = _cdd(C, 'cpd')
-            else:
-                c_pd = ddx.gather_dot(C['pd_onehot'], conc)
-            sm = C['spec_mask']
-            X = ddx.where(sm > 0.5, c_pd, thd.broadcast_to(kf.shape))
-        else:
-            sm = jnp.zeros_like(fall)
-            X = thd.broadcast_to(kf.shape)
-        ratio = k0 / kinf
-        Pr = ratio * X
-        Prf = _tiny_floor(Pr)
-        L = ddx.log(Prf) * _ILN10
-        dL_dPr = ddx.where(Pr.hi > _TINY32, _ILN10 * ddx.recip(Prf),
-                           ddx.zeros_like(Pr))
-        F = one_R
-        dF_dT = ddx.zeros_like(Pr)
-        dF_dL = ddx.zeros_like(Pr)
-        if meta['has_troe']:
-            tmask = C['troe_mask'] > 0.5
-            a_t = _cdd(C, 'troe_a')
-            iT3 = _cdd(C, 'troe_iT3')
-            iT1 = _cdd(C, 'troe_iT1')
-            e3 = ddx.exp(-(T * iT3))
-            e1 = ddx.exp(-(T * iT1))
-            Fc = (1.0 - a_t) * e3 + a_t * e1
-            dFc = -((1.0 - a_t) * iT3 * e3) - a_t * iT1 * e1
-            if meta['has_troe2']:
-                T2 = _cdd(C, 'troe_T2')
-                e2 = ddx.exp(-(T2 * invT))
-                h2 = C['troe_has2']
-                Fc = Fc + _mask_mul(e2, h2)
-                dFc = dFc + _mask_mul(T2 * invT * invT * e2, h2)
-            Fcf = _tiny_floor(Fc)
-            cc = ddx.log(Fcf) * _ILN10
-            dcc = ddx.where(Fc.hi > _TINY32,
-                            dFc * _ILN10 * ddx.recip(Fcf),
-                            ddx.zeros_like(Fc))
-            A_ = L - _C067 * cc - _C04
-            B_ = _C0806 - _C11762 * cc - _C014 * L
-            # division-free form of g = 1/(1 + (A/B)^2): B_ crosses
-            # zero at some states, and unlike IEEE f32/f64 (inf -> g=0
-            # gracefully), dd division turns the inf into NaN
-            # (inf - inf in the correction term)
-            denom = _tiny_floor(A_ * A_ + B_ * B_)
-            iden = ddx.recip(denom)
-            g = B_ * B_ * iden
-            Ft = ddx.exp(_LN10 * (cc * g))
-            two_ab = (2.0 * A_) * B_ * (iden * iden)
-            dg_dc = -(two_ab * ((-_C067) * B_ + _C11762 * A_))
-            dg_dL = -(two_ab * (B_ + _C014 * A_))
-            F = ddx.where(tmask, Ft, F)
-            dF_dT = ddx.where(tmask,
-                              Ft * _LN10 * (g + cc * dg_dc) * dcc, dF_dT)
-            dF_dL = ddx.where(tmask, Ft * _LN10 * (cc * dg_dL), dF_dL)
-        if meta['has_sri']:
-            smask = C['sri_mask'] > 0.5
-            b_s = _cdd(C, 'sri_b')
-            ic_s = _cdd(C, 'sri_ic')
-            a_s = _cdd(C, 'sri_a')
-            eb = ddx.exp(-(b_s * invT))
-            ec = ddx.exp(-(T * ic_s))
-            base = _tiny_floor(a_s * eb + ec)
-            Xs = ddx.recip(1.0 + L * L)
-            lbase = ddx.log(base)
-            Fs = (ddx.exp(Xs * lbase) * _cdd(C, 'sri_d') *
-                  ddx.exp(_cdd(C, 'sri_e') * logT))
-            dbase = a_s * b_s * invT * invT * eb - ec * ic_s
-            F = ddx.where(smask, Fs, F)
-            dF_dT = ddx.where(smask,
-                              Fs * (Xs * dbase * ddx.recip(base) +
-                                    _cdd(C, 'sri_e') * invT), dF_dT)
-            dF_dL = ddx.where(smask,
-                              Fs * lbase * (-(2.0 * L) * (Xs * Xs)),
-                              dF_dL)
+        if meta.get('has_pdep_rows', True):
+            if meta.get('compact_pdep'):
+                # falloff/chemact math runs on the compact pdep row set
+                # (Rp rows) and scatters back — the PLOG/Chebyshev row
+                # economy applied to the pressure-modification
+                # machinery (GRI mix: 26 falloff rows of 325; full-R
+                # masked evaluation wastes ~12x the dd exp/log/div
+                # work)
+                Gp = C['pdc_gather']
+                kf_c = ddx.gather_dot(Gp, kf)
+                dlnkf_c = ddx.gather_dot(Gp, dlnkf_dT)
+                thd_c = ddx.gather_dot(Gp, thd)
+                vals_c = _pdep_falloff_vals(meta, C, 'pdc_', st, kf_c,
+                                            dlnkf_c, thd_c, m_tb)
+                # padding rows compute garbage (duplicated real-row
+                # data, possibly NaN): a select (never a multiply —
+                # 0 * NaN is NaN, and one NaN poisons every row of the
+                # scatter matmul) zeroes them before the one-hot
+                # scatter
+                valid = C['pdc_valid'] > 0.5
+                zc = ddx.zeros_like(vals_c[0])
 
-        i1Pr = ddx.recip(1.0 + Pr)
-        G_ = ddx.where(fmask, Pr * i1Pr, i1Pr)
-        sgn = jnp.where(fmask, _F1, np.float32(-1.0))
-        dG_dPr = _mask_mul(i1Pr * i1Pr, sgn)
-        Phi = F * dG_dPr + G_ * dF_dL * dL_dPr
-        if conp:
-            dPr_dT = Pr * (dlnk0 - dlnkinf - invT)
-        else:
-            dPr_dT = Pr * (dlnk0 - dlnkinf)
-        pm_p = F * G_
-        pmask = pdep > 0.5
-        pm = ddx.where(pmask, pm_p, pm)
-        dpm_dT = ddx.where(pmask, G_ * dF_dT + Phi * dPr_dT, dpm_dT)
-        if conp:
-            cu_mix = -(mw_avg * (thd - m_tb))
-        else:
-            cu_mix = rho.broadcast_to(thd.shape)
-        if meta['has_spec_pdep']:
-            cu_spec = (-(mw_avg * X)) if conp else ddx.zeros_like(X)
-            cu_X = ddx.where(sm > 0.5, cu_spec,
-                             cu_mix.broadcast_to(kf.shape))
-        else:
-            cu_X = cu_mix.broadcast_to(kf.shape)
-        c_u_pm = ddx.where(pmask, Phi * ratio * cu_X, c_u_pm)
-        psi = ddx.where(pmask,
-                        ddx.where(sm > 0.5, ddx.zeros_like(kf),
-                                  Phi * ratio * rho.broadcast_to(
-                                      kf.shape)),
-                        psi)
-        if meta['has_spec_pdep']:
-            xi = ddx.where(pmask & (sm > 0.5),
-                           Phi * ratio * rho.broadcast_to(kf.shape), xi)
+                def scat(v):
+                    return ddx.gather_dot(C['pdc_scat'],
+                                          ddx.where(valid, v, zc))
+                pm_p, dpm_p, cu_p, psi_p, xi_p = [scat(v)
+                                                  for v in vals_c]
+            else:
+                pm_p, dpm_p, cu_p, psi_p, xi_p = _pdep_falloff_vals(
+                    meta, C, '', st, kf, dlnkf_dT,
+                    thd.broadcast_to(kf.shape), m_tb)
+            pmask = C['pdep_mask'] > 0.5
+            pm = ddx.where(pmask, pm_p, pm)
+            dpm_dT = ddx.where(pmask, dpm_p, dpm_dT)
+            c_u_pm = ddx.where(pmask, cu_p, c_u_pm)
+            psi = ddx.where(pmask, psi_p, psi)
+            if meta['has_spec_pdep']:
+                xi = ddx.where(pmask, xi_p, xi)
 
     # --- dq/dT ------------------------------------------------------------------
     dq_dT = pm * (Rf * dlnkf_dT - Rr * dlnkr_dT) + dpm_dT * qnet
@@ -1404,7 +1541,8 @@ def _split64(x):
 
 def jacobian_dd_xla(packed, param, y, conp: bool = True,
                     n_dyn: int = 8, log_rates: bool = False,
-                    fast_trace: bool = False):
+                    fast_trace: bool = False,
+                    compact_pdep: bool = True):
     """(J, dydt) in f64 via double-float arithmetic under plain XLA.
 
     ``y``: (B, N) f64 batch-major states [T, Y_1..Y_{N-1}]; ``param``
@@ -1427,7 +1565,8 @@ def jacobian_dd_xla(packed, param, y, conp: bool = True,
         raise RuntimeError('jacobian_dd_xla needs jax_enable_x64 for '
                            'its f64 output combination')
     consts, meta = _consts_dd(packed, conp=conp, n_dyn=n_dyn,
-                              log_rates=log_rates)
+                              log_rates=log_rates,
+                              compact_pdep=compact_pdep)
     C = {k: jnp.asarray(v) for k, v in consts.items()}
     N, J = meta['N'], meta['J']
 
@@ -1529,7 +1668,8 @@ def _sparse_col_contract(meta, SC, p1c_j: DDA, nuc_j, n_dyn=None):
 def jacobian_dd_xla_sparse(packed, param, y, conp: bool = True,
                            n_dyn: int = 8, log_rates: bool = False,
                            expanded: bool = False,
-                           fast_trace: bool = False):
+                           fast_trace: bool = False,
+                           compact_pdep: bool = True):
     """(J, dydt) like :func:`jacobian_dd_xla`, but assembling the
     species block through the compressed per-column reaction sets
     (``_sparse_col_pack``) instead of dense (R, B) columns.
@@ -1552,7 +1692,8 @@ def jacobian_dd_xla_sparse(packed, param, y, conp: bool = True,
     if not jax.config.jax_enable_x64:
         raise RuntimeError('jacobian_dd_xla_sparse needs jax_enable_x64')
     consts, meta = _consts_dd(packed, conp=conp, n_dyn=n_dyn,
-                              log_rates=log_rates)
+                              log_rates=log_rates,
+                              compact_pdep=compact_pdep)
     C = {k: jnp.asarray(v) for k, v in consts.items()}
     N, J = meta['N'], meta['J']
     SC = (_sparse_col_pack_expanded(packed, meta) if expanded
@@ -1906,7 +2047,8 @@ class PallasDDJacobianSparse:
 
     def __init__(self, packed, block_b: int = 0, block_b_cols: int = 0,
                  jb: int = 8, conp: bool = True, n_dyn: int = 8,
-                 log_rates: bool = False, fuse_gather: bool = False):
+                 log_rates: bool = False, fuse_gather: bool = False,
+                 compact_pdep: bool = True):
         self.fuse_gather = bool(fuse_gather)
         if not supports(packed):
             raise NotImplementedError(
@@ -1931,7 +2073,8 @@ class PallasDDJacobianSparse:
         self.block_b_cols = block_b_cols
         self.consts, self.meta = _consts_dd(packed, conp=conp,
                                             n_dyn=n_dyn,
-                                            log_rates=log_rates)
+                                            log_rates=log_rates,
+                                            compact_pdep=compact_pdep)
         meta = self.meta
         meta['jb'] = jb
         SC = _sparse_col_pack_expanded(packed, meta, jb=jb)
@@ -2151,7 +2294,7 @@ class PallasDDJacobian:
 
     def __init__(self, packed, block_b: int = 0, interpret: bool = False,
                  conp: bool = True, n_dyn: int = 8, col_group: int = 1,
-                 log_rates: bool = False):
+                 log_rates: bool = False, compact_pdep: bool = True):
         if not supports(packed):
             raise NotImplementedError(
                 'mechanism outside Pallas coverage: use jacobian_dd_xla')
@@ -2168,7 +2311,8 @@ class PallasDDJacobian:
         self.interpret = interpret
         self.consts, self.meta = _consts_dd(packed, conp=conp,
                                             n_dyn=n_dyn,
-                                            log_rates=log_rates)
+                                            log_rates=log_rates,
+                                            compact_pdep=compact_pdep)
         self.meta['unroll_cols'] = bool(interpret)
         self.meta['col_group'] = int(col_group)
         self.names = list(self.consts.keys())
@@ -2486,7 +2630,7 @@ class PallasDDJacobianBig:
                  interpret: bool = False, conp: bool = True,
                  n_dyn: int = 8, sparse_cols: bool = False,
                  log_rates: bool = False, parts_kernel: bool = False,
-                 tile_r: int = 512):
+                 tile_r: int = 512, compact_pdep: bool = None):
         self.packed = packed
         self.block_b = block_b
         self.jb = jb
@@ -2504,13 +2648,21 @@ class PallasDDJacobianBig:
                 raise NotImplementedError(
                     'parts_kernel: N == R defeats the shape-based '
                     'constant partitioning')
+        if compact_pdep is None:
+            # the compact falloff row set gathers across the full R
+            # axis — incompatible with the reaction-tiled parts kernel
+            # (its constants stream as (tile_r, .) blocks); the XLA
+            # parts stage benefits directly (654-class gri mix: ~190
+            # falloff rows of 2716)
+            compact_pdep = not parts_kernel
         # parts_kernel streams per-reaction one-hots into the Mosaic
         # tile (ext_gather=False builds them); the XLA parts stage
         # gathers with jnp.take instead (ext_gather=True)
         self.consts, self.meta = _consts_dd(packed, conp=conp,
                                             n_dyn=n_dyn,
                                             ext_gather=not parts_kernel,
-                                            log_rates=log_rates)
+                                            log_rates=log_rates,
+                                            compact_pdep=compact_pdep)
         meta = self.meta
         meta['jb'] = jb
         N, R, J = meta['N'], meta['R'], meta['J']
@@ -2527,7 +2679,7 @@ class PallasDDJacobianBig:
                     'thd_mask', 'fall_mask', 'chem_mask',
                     'pdep_mask', 'spec_mask', 'nu_f',
                     'nu_p', 'ordf', 'ordr', 'last_f',
-                    'last_p')
+                    'last_p', 'pdc_')
         if sparse_cols:
             # the compressed tables replace every per-reaction constant
             drop_pre = drop_pre + ('nuT_', 'spf', 'spp', 'effidx',

@@ -185,6 +185,37 @@ def _synth_packed(tmp_path, name='m.inp', **kw):
     return mech, pack(mech)
 
 
+def test_compact_pdep_bit_identical(tmp_path):
+    """Compact pdep-row falloff evaluation (round 4: the falloff /
+    chemact machinery runs on the one-hot-gathered pdep row set and
+    scatters back, the PLOG/Chebyshev row economy applied to pressure
+    modification) is an exact refactor — identical dd ops on exactly
+    gathered inputs — so it must match the dense-masked path to the
+    last bit on every category (the all-features synthetic has Troe,
+    SRI, chemact, spec-pdep, PLOG and Chebyshev rows)."""
+    from pyjac_tpu.ops import thermo
+
+    mech, packed = _synth_packed(tmp_path, n_species=9, n_reactions=24,
+                                 seed=7)
+    assert (np.asarray(packed.falloff_mask) |
+            np.asarray(packed.chemact_mask)).any()
+    y, P = _states_for(mech)
+    Jf, ff = jacobian_dd_xla(packed, P, y, compact_pdep=False)
+    Jc, fc = jacobian_dd_xla(packed, P, y, compact_pdep=True)
+    assert np.array_equal(np.asarray(Jf), np.asarray(Jc))
+    assert np.array_equal(np.asarray(ff), np.asarray(fc))
+    # conv mode exercises the rho-based c_u / psi branches
+    _, _, rho, _ = thermo.eval_conc(packed, jnp.asarray(y[:, 0]),
+                                    jnp.asarray(P),
+                                    jnp.asarray(y[:, 1:]))
+    rho = np.asarray(rho)
+    Jf2, _ = jacobian_dd_xla(packed, rho, y, conp=False,
+                             compact_pdep=False)
+    Jc2, _ = jacobian_dd_xla(packed, rho, y, conp=False,
+                             compact_pdep=True)
+    assert np.array_equal(np.asarray(Jf2), np.asarray(Jc2))
+
+
 def test_sparse_columns_bit_identical(tmp_path):
     """The compressed per-column assembly (the reference's touched[]
     structure, create_jacobian.py:2641/3301-3404) contracts only the
