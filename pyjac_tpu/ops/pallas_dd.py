@@ -143,9 +143,9 @@ def _consts_dd(packed, conp=True, n_dyn=8, ext_gather=False,
                     consts, meta)                       # (R, N) over N
     _sliced_entries('invw', ddx.slice_static(packed.inv_mw[None, :], w=8),
                     consts, meta)                       # (1, N)
-    if packed.has_pres_mod and not ext_gather:
-        _sliced_entries('effm1', ddx.slice_static(packed.eff_m1, w=8),
-                        consts, meta)                   # (R, N)
+    # (the third-body efficiency matrix is emitted in the pres-mod
+    # block below: full (R, N) on the dense-masked path, pres-mod-row
+    # compacted as 'pmc_effm1' when compact_pdep is active)
 
     # --- dd constants -------------------------------------------------------
     col = lambda v: np.asarray(v, np.float64)[:, None]
@@ -279,15 +279,53 @@ def _consts_dd(packed, conp=True, n_dyn=8, ext_gather=False,
         troe_iT1 = 1.0 / np.where(troe, packed.troe_par[:, 2], 1.0)
         sri = packed.sri_mask
         sri_ic = 1.0 / np.where(sri, packed.sri_par[:, 2], 1.0)
+        presmod_rows = np.where(np.asarray(packed.thd_only_mask) |
+                                np.asarray(packed.falloff_mask) |
+                                np.asarray(packed.chemact_mask))[0]
         use_compact = (compact_pdep and len(pdep_rows) and
-                       -(-len(pdep_rows) // 8) * 8 < R)
+                       -(-len(pdep_rows) // 8) * 8 < R and
+                       -(-len(presmod_rows) // 8) * 8 < R)
         meta['compact_pdep'] = bool(use_compact)
+        if not use_compact and not ext_gather:
+            _sliced_entries('effm1',
+                            ddx.slice_static(packed.eff_m1, w=8),
+                            consts, meta)               # (R, N)
         if use_compact:
-            # falloff/chemact machinery evaluates on this compact row
-            # set only (the PLOG/Chebyshev scatter economy applied to
-            # pressure modification): pad to a sublane multiple with
-            # repeats of the first real row (finite math on the pads;
-            # 'pdc_valid' zeroes them before the scatter matmul)
+            # the WHOLE pressure-modification machinery (third-body
+            # sums + falloff/chemact blending) evaluates on compact
+            # row sets only — the PLOG/Chebyshev scatter economy (GRI
+            # mix: 43 pres-mod rows of 325, 26 of them falloff).  Two
+            # nested sets: 'pmc_' = all pres-mod rows (third-body base
+            # + the effm1 contraction), 'pdc_' = the falloff/chemact
+            # subset (the expensive blending).  Pads repeat the first
+            # real row (finite math); '*_valid' masks zero them before
+            # any scatter matmul (a select, never a multiply — one NaN
+            # would poison every row of the scatter).
+            Rpm = -(-len(presmod_rows) // 8) * 8
+            rows_pm = np.concatenate(
+                [presmod_rows,
+                 np.full(Rpm - len(presmod_rows), presmod_rows[0],
+                         np.int64)])
+            meta['R_pmc'] = int(Rpm)
+            meta['pmc_rows'] = tuple(int(r) for r in rows_pm)
+            scat_pm = np.zeros((R, Rpm), np.float32)
+            scat_pm[rows_pm[:len(presmod_rows)],
+                    np.arange(len(presmod_rows))] = 1.0
+            consts['pmc_scat'] = scat_pm
+            valid_pm = np.zeros((Rpm, 1), np.float32)
+            valid_pm[:len(presmod_rows)] = 1.0
+            consts['pmc_valid'] = valid_pm
+            subm = lambda a: np.asarray(a)[rows_pm]
+            consts['pmc_thd_mask'] = f32(subm(packed.thd_only_mask)
+                                         )[:, None]
+            consts['pmc_pdep_mask'] = f32(subm(packed.falloff_mask) +
+                                          subm(packed.chemact_mask)
+                                          )[:, None]
+            if not ext_gather:
+                _sliced_entries(
+                    'pmc_effm1',
+                    ddx.slice_static(np.asarray(packed.eff_m1)[rows_pm],
+                                     w=8), consts, meta)
             Rp = -(-len(pdep_rows) // 8) * 8
             rows_c = np.concatenate(
                 [pdep_rows,
@@ -295,11 +333,19 @@ def _consts_dd(packed, conp=True, n_dyn=8, ext_gather=False,
             meta['R_pdc'] = int(Rp)
             gat = np.zeros((Rp, R), np.float32)
             gat[np.arange(Rp), rows_c] = 1.0
-            scat_c = np.zeros((R, Rp), np.float32)
-            scat_c[rows_c[:len(pdep_rows)],
-                   np.arange(len(pdep_rows))] = 1.0
             consts['pdc_gather'] = gat
-            consts['pdc_scat'] = scat_c
+            # pdep rows are a subset of pres-mod rows: map between the
+            # two compact layouts (gather thd in, scatter blending out)
+            pos_in_pm = {int(r): i for i, r in
+                         enumerate(presmod_rows)}
+            from_pm = np.zeros((Rp, Rpm), np.float32)
+            for i, r in enumerate(rows_c):
+                from_pm[i, pos_in_pm[int(r)]] = 1.0
+            consts['pdc_from_pmc'] = from_pm
+            scat_c = np.zeros((Rpm, Rp), np.float32)
+            for i, r in enumerate(pdep_rows):
+                scat_c[pos_in_pm[int(r)], i] = 1.0
+            consts['pdc_scat_pmc'] = scat_c
             valid = np.zeros((Rp, 1), np.float32)
             valid[:len(pdep_rows)] = 1.0
             consts['pdc_valid'] = valid
@@ -1225,57 +1271,100 @@ def _compute_reaction_parts(meta, C, st: dict) -> dict:
     xi = ddx.zeros_like(lkf)
     if meta['has_pres_mod']:
         m_tb = P * ddx.recip(_RU * T)                      # (1, B)
-        if meta.get('ext_gather'):
-            thd = m_tb + _cdd(C, 'effc')
-        else:
-            thd = m_tb + _mm(C, meta, 'effm1', conc)
-        tm = C['thd_mask']
-        pm = pm + _mask_mul(thd - 1.0, tm)
-        if conp:
-            dpm_dT = dpm_dT + _mask_mul(-(thd * invT), tm)
-            c_u_pm = c_u_pm + _mask_mul(-(mw_avg * (thd - m_tb)), tm)
-        else:
-            c_u_pm = c_u_pm + _mask_mul(rho.broadcast_to(kf.shape), tm)
-        psi = psi + _mask_mul(rho.broadcast_to(kf.shape), tm)
-
-        if meta.get('has_pdep_rows', True):
-            if meta.get('compact_pdep'):
-                # falloff/chemact math runs on the compact pdep row set
-                # (Rp rows) and scatters back — the PLOG/Chebyshev row
-                # economy applied to the pressure-modification
-                # machinery (GRI mix: 26 falloff rows of 325; full-R
-                # masked evaluation wastes ~12x the dd exp/log/div
-                # work)
+        if meta.get('compact_pdep'):
+            # the WHOLE pressure-modification section runs on the
+            # compact pres-mod row set 'pmc_' (GRI mix: 43 rows of
+            # 325) with the falloff/chemact blending on its 'pdc_'
+            # subset (26 rows) — the PLOG/Chebyshev scatter economy;
+            # dense-masked full-R evaluation wastes ~10x the dd work
+            # (incl. the effm1 contraction's dd combine chain).
+            # Every op mirrors the dense-masked path exactly (same dd
+            # op sequence per real row; gathers/scatters are exact
+            # one-hot passes) so the output is bitwise-identical.
+            if meta.get('ext_gather'):
+                thd_c = m_tb + _cdd(C, 'pmc_effc')
+            else:
+                thd_c = m_tb + _mm(C, meta, 'pmc_effm1', conc)
+            tm_c = C['pmc_thd_mask']
+            one_c = ddx.wrap(jnp.ones_like(thd_c.hi))
+            rho_c = rho.broadcast_to(thd_c.shape)
+            pm_c = one_c + _mask_mul(thd_c - 1.0, tm_c)
+            dpm_c = ddx.zeros_like(thd_c)
+            cu_c = ddx.zeros_like(thd_c)
+            if conp:
+                dpm_c = dpm_c + _mask_mul(-(thd_c * invT), tm_c)
+                cu_c = cu_c + _mask_mul(-(mw_avg * (thd_c - m_tb)),
+                                        tm_c)
+            else:
+                cu_c = cu_c + _mask_mul(rho_c, tm_c)
+            psi_c = ddx.zeros_like(thd_c) + _mask_mul(rho_c, tm_c)
+            xi_c = ddx.zeros_like(thd_c)
+            if meta.get('has_pdep_rows', True):
                 Gp = C['pdc_gather']
                 kf_c = ddx.gather_dot(Gp, kf)
                 dlnkf_c = ddx.gather_dot(Gp, dlnkf_dT)
-                thd_c = ddx.gather_dot(Gp, thd)
+                thd_f = ddx.gather_dot(C['pdc_from_pmc'], thd_c)
                 vals_c = _pdep_falloff_vals(meta, C, 'pdc_', st, kf_c,
-                                            dlnkf_c, thd_c, m_tb)
+                                            dlnkf_c, thd_f, m_tb)
                 # padding rows compute garbage (duplicated real-row
                 # data, possibly NaN): a select (never a multiply —
                 # 0 * NaN is NaN, and one NaN poisons every row of the
                 # scatter matmul) zeroes them before the one-hot
                 # scatter
-                valid = C['pdc_valid'] > 0.5
-                zc = ddx.zeros_like(vals_c[0])
+                validf = C['pdc_valid'] > 0.5
+                zf = ddx.zeros_like(vals_c[0])
 
-                def scat(v):
-                    return ddx.gather_dot(C['pdc_scat'],
-                                          ddx.where(valid, v, zc))
-                pm_p, dpm_p, cu_p, psi_p, xi_p = [scat(v)
-                                                  for v in vals_c]
+                def scf(v):
+                    return ddx.gather_dot(C['pdc_scat_pmc'],
+                                          ddx.where(validf, v, zf))
+                pmask_c = C['pmc_pdep_mask'] > 0.5
+                pm_c = ddx.where(pmask_c, scf(vals_c[0]), pm_c)
+                dpm_c = ddx.where(pmask_c, scf(vals_c[1]), dpm_c)
+                cu_c = ddx.where(pmask_c, scf(vals_c[2]), cu_c)
+                psi_c = ddx.where(pmask_c, scf(vals_c[3]), psi_c)
+                if meta['has_spec_pdep']:
+                    xi_c = ddx.where(pmask_c, scf(vals_c[4]), xi_c)
+            # one scatter back to the full R layout
+            validm = C['pmc_valid'] > 0.5
+            zm = ddx.zeros_like(pm_c)
+
+            def scm(v):
+                return ddx.gather_dot(C['pmc_scat'],
+                                      ddx.where(validm, v, zm))
+            prmask = (C['thd_mask'] + C['pdep_mask']) > 0.5
+            pm = ddx.where(prmask, scm(pm_c), pm)
+            dpm_dT = ddx.where(prmask, scm(dpm_c), dpm_dT)
+            c_u_pm = ddx.where(prmask, scm(cu_c), c_u_pm)
+            psi = ddx.where(prmask, scm(psi_c), psi)
+            if meta['has_spec_pdep']:
+                xi = ddx.where(prmask, scm(xi_c), xi)
+        else:
+            if meta.get('ext_gather'):
+                thd = m_tb + _cdd(C, 'effc')
             else:
+                thd = m_tb + _mm(C, meta, 'effm1', conc)
+            tm = C['thd_mask']
+            pm = pm + _mask_mul(thd - 1.0, tm)
+            if conp:
+                dpm_dT = dpm_dT + _mask_mul(-(thd * invT), tm)
+                c_u_pm = c_u_pm + _mask_mul(-(mw_avg * (thd - m_tb)),
+                                            tm)
+            else:
+                c_u_pm = c_u_pm + _mask_mul(
+                    rho.broadcast_to(kf.shape), tm)
+            psi = psi + _mask_mul(rho.broadcast_to(kf.shape), tm)
+
+            if meta.get('has_pdep_rows', True):
                 pm_p, dpm_p, cu_p, psi_p, xi_p = _pdep_falloff_vals(
                     meta, C, '', st, kf, dlnkf_dT,
                     thd.broadcast_to(kf.shape), m_tb)
-            pmask = C['pdep_mask'] > 0.5
-            pm = ddx.where(pmask, pm_p, pm)
-            dpm_dT = ddx.where(pmask, dpm_p, dpm_dT)
-            c_u_pm = ddx.where(pmask, cu_p, c_u_pm)
-            psi = ddx.where(pmask, psi_p, psi)
-            if meta['has_spec_pdep']:
-                xi = ddx.where(pmask, xi_p, xi)
+                pmask = C['pdep_mask'] > 0.5
+                pm = ddx.where(pmask, pm_p, pm)
+                dpm_dT = ddx.where(pmask, dpm_p, dpm_dT)
+                c_u_pm = ddx.where(pmask, cu_p, c_u_pm)
+                psi = ddx.where(pmask, psi_p, psi)
+                if meta['has_spec_pdep']:
+                    xi = ddx.where(pmask, xi_p, xi)
 
     # --- dq/dT ------------------------------------------------------------------
     dq_dT = pm * (Rf * dlnkf_dT - Rr * dlnkr_dT) + dpm_dT * qnet
@@ -2679,7 +2768,7 @@ class PallasDDJacobianBig:
                     'thd_mask', 'fall_mask', 'chem_mask',
                     'pdep_mask', 'spec_mask', 'nu_f',
                     'nu_p', 'ordf', 'ordr', 'last_f',
-                    'last_p', 'pdc_')
+                    'last_p', 'pdc_', 'pmc_')
         if sparse_cols:
             # the compressed tables replace every per-reaction constant
             drop_pre = drop_pre + ('nuT_', 'spf', 'spp', 'effidx',
@@ -2712,8 +2801,16 @@ class PallasDDJacobianBig:
         # XLA-side dd stage: gathers + full parts
         inv_mw_col = ddx.const(np.asarray(packed.inv_mw)[:, None])
         invw_sliced = ddx.slice_static(packed.inv_mw[None, :], w=8)
-        eff_sliced = (ddx.slice_static(packed.eff_m1, w=8)
-                      if meta['has_pres_mod'] else None)
+        eff_sliced = None
+        if meta['has_pres_mod']:
+            if meta.get('compact_pdep'):
+                # pres-mod-row-compacted efficiency matrix (the only
+                # rows the compact section reads)
+                eff_sliced = ddx.slice_static(
+                    np.asarray(packed.eff_m1)[
+                        np.asarray(meta['pmc_rows'])], w=8)
+            else:
+                eff_sliced = ddx.slice_static(packed.eff_m1, w=8)
         reac_sp = np.asarray(packed.reac_sp)
         prod_sp = np.asarray(packed.prod_sp)
         pd_idx = np.maximum(np.asarray(packed.pdep_sp_idx), 0)
@@ -2758,8 +2855,14 @@ class PallasDDJacobianBig:
                         C2['zc_%s%d' % (pre, s)] = jnp.take(
                             zc, idx, axis=0)
             if meta['has_pres_mod']:
-                effc = ddx.matmul_sliced(eff_sliced, conc)
-                C2['effc_hi'], C2['effc_lo'] = effc.hi, effc.lo
+                if meta.get('compact_pdep'):
+                    # the compact section only reads the pres-mod rows
+                    effc_c = ddx.matmul_sliced(eff_sliced, conc)
+                    C2['pmc_effc_hi'] = effc_c.hi
+                    C2['pmc_effc_lo'] = effc_c.lo
+                else:
+                    effc = ddx.matmul_sliced(eff_sliced, conc)
+                    C2['effc_hi'], C2['effc_lo'] = effc.hi, effc.lo
                 if meta['has_spec_pdep']:
                     cpd = take(pd_idx)
                     C2['cpd_hi'], C2['cpd_lo'] = cpd.hi, cpd.lo

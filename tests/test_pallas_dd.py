@@ -153,12 +153,17 @@ def test_big_kernel_traces_any_size(tmp_path):
     packed = pack(mech)
     big = PallasDDJacobianBig(packed, block_b=128, jb=8)
     # the only (R, N)-scaling constants are the nu contraction slices
-    # themselves (2 * N * R f32 by design) — no per-slot one-hots
+    # themselves (2 * N * R f32 by design) — no per-slot one-hots.
+    # The compact pres-mod gather/scatter tables (pmc_/pdc_, round 4)
+    # scale as R * R_presmod and live in the XLA parts stage only:
+    # they must stay OUT of the streamed column-kernel consts.
     R, N = packed.n_reactions, packed.n_species
     for nm, v in big.consts.items():
-        if nm.startswith(('nuT_s', 'nuR_s')):
+        if nm.startswith(('nuT_s', 'nuR_s', 'pmc_', 'pdc_')):
             continue
         assert v.size < R * N / 2, (nm, v.shape)
+    assert not [nm for nm in big.kconsts
+                if nm.startswith(('pmc_', 'pdc_'))]
     B = 128
     sh = jax.ShapeDtypeStruct((N, B), jnp.float32)
     sp = jax.ShapeDtypeStruct((1, B), jnp.float32)
