@@ -187,6 +187,62 @@ def load_packed(path: str) -> PackedMechanism:
     return PackedMechanism(mech=mech, **arrays, **scalars)
 
 
+def permute_reactions(packed: PackedMechanism, perm) -> PackedMechanism:
+    """Reorder the reaction axis by ``perm`` (new row i = old row
+    perm[i]).
+
+    Reaction order is semantically arbitrary: every per-reaction array
+    is gathered by ``perm`` and every array holding reaction *indices*
+    (plog_idx, cheb_idx, rev_map, pres_mod_map) is remapped through the
+    inverse permutation, preserving its positional order (rev_map /
+    pres_mod_map define the compacted output layouts of
+    ``ops.rates.eval_rev`` / ``eval_pres_mod``, which must not change).
+    The dd kernels built from the permuted pack produce
+    bitwise-identical outputs: per-row dd math is elementwise, and the
+    stoichiometric contractions run as exact integer-grid MXU passes
+    whose per-pass sums are order-invariant (ops/ddx.py).  The plain
+    f64 XLA path differs by accumulation-order rounding only
+    (measured ~1e-16 relative).
+
+    Reference analog: the cache optimizer's reaction reordering
+    (pyjac/core/cache_optimizer.py) — there for memory locality, here
+    to group reaction categories so category-specialized kernels (the
+    split-grid tiled parts stage) can skip absent machinery per tile.
+    """
+    import dataclasses
+    perm = np.asarray(perm)
+    R = packed.n_reactions
+    if perm.shape != (R,) or not np.array_equal(np.sort(perm),
+                                                np.arange(R)):
+        raise ValueError('perm must be a permutation of range(%d)' % R)
+    inv = np.empty(R, np.int64)
+    inv[perm] = np.arange(R)
+    per_reaction = (
+        'logA', 'A_sign', 'beta', 'Ta', 'reac_sp', 'reac_nu',
+        'prod_sp', 'prod_nu', 'nu_fwd', 'nu_rev', 'nu_net', 'rev_mask',
+        'sum_nu', 'pres_mod_mask', 'thd_only_mask', 'falloff_mask',
+        'chemact_mask', 'troe_mask', 'sri_mask', 'eff_m1',
+        'pdep_sp_idx', 'low_logA', 'low_beta', 'low_Ta', 'high_logA',
+        'high_beta', 'high_Ta', 'troe_par', 'troe_has_T2', 'sri_par')
+    index_fields = ('plog_idx', 'cheb_idx', 'rev_map', 'pres_mod_map')
+    upd = {}
+    for f in per_reaction:
+        upd[f] = np.asarray(getattr(packed, f))[perm]
+    for f in index_fields:
+        v = np.asarray(getattr(packed, f))
+        upd[f] = inv[v].astype(v.dtype) if v.size else v
+    return dataclasses.replace(packed, **upd)
+
+
+def presmod_first_order(packed: PackedMechanism) -> np.ndarray:
+    """Permutation placing every pres-mod (third-body / falloff /
+    chemically-activated) reaction first, original order preserved
+    within each group — so a reaction-tiled kernel can run the
+    pressure-modification machinery on the leading tiles only."""
+    pm = np.asarray(packed.pres_mod_mask).astype(bool)
+    return np.concatenate([np.where(pm)[0], np.where(~pm)[0]])
+
+
 def pack(mech: Mechanism) -> PackedMechanism:
     """Pack a mechanism into constant tensors (the 'codegen' step)."""
     specs, reacs = mech.specs, mech.reacs

@@ -2719,7 +2719,8 @@ class PallasDDJacobianBig:
                  interpret: bool = False, conp: bool = True,
                  n_dyn: int = 8, sparse_cols: bool = False,
                  log_rates: bool = False, parts_kernel: bool = False,
-                 tile_r: int = 512, compact_pdep: bool = None):
+                 tile_r: int = 512, compact_pdep: bool = None,
+                 split_presmod: bool = None):
         self.packed = packed
         self.block_b = block_b
         self.jb = jb
@@ -2737,6 +2738,26 @@ class PallasDDJacobianBig:
                 raise NotImplementedError(
                     'parts_kernel: N == R defeats the shape-based '
                     'constant partitioning')
+        # split-grid pres-mod specialization: sort pres-mod rows first
+        # (an internal reaction permutation — dd outputs are exactly
+        # permutation-invariant, core/pack.permute_reactions) so the
+        # leading reaction tiles carry ALL the pressure-modification
+        # machinery and the remaining tiles trace a body with
+        # has_pres_mod=False — no third-body/falloff work at all on
+        # ~85-95% of the rows of a gri-mix mechanism.
+        self._perm = None
+        self._split_r1 = None
+        if parts_kernel and split_presmod is not False \
+                and packed.has_pres_mod:
+            from ..core.pack import (permute_reactions,
+                                     presmod_first_order)
+            n_pm = int(np.asarray(packed.pres_mod_mask).sum())
+            r1 = -(-n_pm // tile_r) * tile_r
+            r_pad0 = -(-packed.n_reactions // tile_r) * tile_r
+            if 0 < n_pm and r1 < r_pad0:
+                self._perm = presmod_first_order(packed)
+                packed = permute_reactions(packed, self._perm)
+                self._split_r1 = r1
         if compact_pdep is None:
             # the compact falloff row set gathers across the full R
             # axis — incompatible with the reaction-tiled parts kernel
@@ -2922,19 +2943,38 @@ class PallasDDJacobianBig:
                 pconsts[nm] = (np.concatenate(
                     [v, np.repeat(v[-1:], pr, 0)]) if pr else v)
             role_names = _tiled_role_spec(meta)
-            kernP = functools.partial(_kernel_dd_parts_tiled, meta,
-                                      pnames)
             st_rows = {'N': N, '1': 1}
+            # split-grid variants: kernel A carries the leading
+            # pres-mod tiles with the full machinery; kernel B traces
+            # the remaining tiles with has_pres_mod=False (rows are
+            # pres-mod-sorted, see __init__) and never streams the
+            # pres-mod constants at all
+            r1 = self._split_r1
+            kerns = []           # (kern, names, row0, rows, roles)
+            if r1:
+                meta_b = dict(meta)
+                meta_b['has_pres_mod'] = False
+                pm_pre = ('effm1_', 'effidx', 'effval', 'low_',
+                          'high_', 'troe', 'sri', 'thd_mask',
+                          'fall_mask', 'chem_mask', 'pdep_mask',
+                          'spec_mask', 'pd_onehot', 'pdidxf',
+                          'at_last', 'pd_last', 'pmc_', 'pdc_')
+                pnames_b = [nm for nm in pnames
+                            if not nm.startswith(pm_pre)]
+                kerns = [
+                    (functools.partial(_kernel_dd_parts_tiled, meta,
+                                       pnames), pnames, 0, r1,
+                     role_names),
+                    (functools.partial(_kernel_dd_parts_tiled, meta_b,
+                                       pnames_b), pnames_b, r1,
+                     R_pad - r1, _tiled_role_spec(meta_b)),
+                ]
+            else:
+                kerns = [(functools.partial(_kernel_dd_parts_tiled,
+                                            meta, pnames),
+                          pnames, 0, R_pad, role_names)]
 
             def parts_stage(st, B):
-                gridP = (B // block_b, R_pad // tile_r)
-                const_specsP = [
-                    pl.BlockSpec(
-                        (tile_r,) + pconsts[nm].shape[1:],
-                        (lambda nd: (lambda i, kk: (kk,) + (0,) *
-                                     (nd - 1)))(pconsts[nm].ndim),
-                        memory_space=pltpu.VMEM)
-                    for nm in pnames]
                 st_specs, st_args = [], []
                 for nm, kind in _TILED_ST_SPEC:
                     st_specs += [pl.BlockSpec(
@@ -2942,29 +2982,55 @@ class PallasDDJacobianBig:
                         lambda i, kk: (0, i),
                         memory_space=pltpu.VMEM)] * 2
                     st_args += [st[nm].hi, st[nm].lo]
-                out_specsP = [pl.BlockSpec(
-                    (tile_r, block_b), lambda i, kk: (kk, i),
-                    memory_space=pltpu.VMEM)] * (2 * len(role_names))
-                out_shapeP = [jax.ShapeDtypeStruct((R_pad, B),
-                                                   jnp.float32)
-                              ] * (2 * len(role_names))
-                argsP = [jnp.asarray(pconsts[nm]) for nm in pnames]
-                with df.barrier_mode('xla' if self.interpret
-                                     else 'none'):
-                    outs = pl.pallas_call(
-                        kernP, grid=gridP, in_specs=const_specsP +
-                        st_specs, out_specs=out_specsP,
-                        out_shape=out_shapeP,
-                        interpret=self.interpret,
-                        compiler_params=pltpu.CompilerParams(
-                            vmem_limit_bytes=112 * 1024 * 1024,
-                            dimension_semantics=('arbitrary',
-                                                 'arbitrary')),
-                    )(*argsP, *st_args)
+                pieces = []
+                for kern, names, row0, rows, roles in kerns:
+                    cpart = {nm: pconsts[nm][row0:row0 + rows]
+                             for nm in names}
+                    const_specs = [
+                        pl.BlockSpec(
+                            (tile_r,) + cpart[nm].shape[1:],
+                            (lambda nd: (lambda i, kk: (kk,) + (0,) *
+                                         (nd - 1)))(cpart[nm].ndim),
+                            memory_space=pltpu.VMEM)
+                        for nm in names]
+                    out_specs = [pl.BlockSpec(
+                        (tile_r, block_b), lambda i, kk: (kk, i),
+                        memory_space=pltpu.VMEM)] * (2 * len(roles))
+                    out_shape = [jax.ShapeDtypeStruct((rows, B),
+                                                      jnp.float32)
+                                 ] * (2 * len(roles))
+                    args = [jnp.asarray(cpart[nm]) for nm in names]
+                    with df.barrier_mode('xla' if self.interpret
+                                         else 'none'):
+                        outs = pl.pallas_call(
+                            kern, grid=(B // block_b, rows // tile_r),
+                            in_specs=const_specs + st_specs,
+                            out_specs=out_specs, out_shape=out_shape,
+                            interpret=self.interpret,
+                            compiler_params=pltpu.CompilerParams(
+                                vmem_limit_bytes=112 * 1024 * 1024,
+                                dimension_semantics=('arbitrary',
+                                                     'arbitrary')),
+                        )(*args, *st_args)
+                    pieces.append(
+                        {nm: (outs[2 * i], outs[2 * i + 1])
+                         for i, nm in enumerate(roles)})
                 rp = {}
-                for idx, name in enumerate(role_names):
-                    rp[name] = DDA(outs[2 * idx][:R],
-                                   outs[2 * idx + 1][:R])
+                for name in role_names:
+                    hs = [p[name][0] for p in pieces if name in p]
+                    ls = [p[name][1] for p in pieces if name in p]
+                    if len(pieces) > 1 and len(hs) < len(pieces):
+                        # roles absent from the elementary kernel
+                        # (psi_q / xi_q) are structurally zero there
+                        zb = jnp.zeros((R_pad - r1, hs[0].shape[-1]),
+                                       jnp.float32)
+                        hs.append(zb)
+                        ls.append(zb)
+                    h = hs[0] if len(hs) == 1 else jnp.concatenate(
+                        hs, axis=0)
+                    l_ = ls[0] if len(ls) == 1 else jnp.concatenate(
+                        ls, axis=0)
+                    rp[name] = DDA(h[:R], l_[:R])
                 rp['vals_f'] = [rp.pop('vals_f%d' % s)
                                 for s in range(Sf)]
                 rp['vals_p'] = [rp.pop('vals_p%d' % s)

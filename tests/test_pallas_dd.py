@@ -444,6 +444,83 @@ def test_parts_tiled_kernel_matches_xla_sections(tmp_path):
         assert np.abs(av - bv).max() / s < 5e-9, nm
 
 
+def test_permute_reactions_dd_bitwise(tmp_path):
+    """Reaction reordering (core.pack.permute_reactions) is exactly
+    invariant on the dd path: per-row math is elementwise and the
+    stoichiometric contractions are exact integer-grid MXU passes —
+    the basis of the split-grid tiled parts kernel's internal
+    pres-mod-first sort."""
+    from pyjac_tpu.core.pack import (permute_reactions,
+                                     presmod_first_order)
+
+    mech, packed = _synth_packed(tmp_path, n_species=9, n_reactions=24,
+                                 seed=7)
+    y, P = _states_for(mech)
+    perm = presmod_first_order(packed)
+    assert not np.array_equal(perm, np.arange(len(perm)))
+    p2 = permute_reactions(packed, perm)
+    J1, f1 = jacobian_dd_xla(packed, P, y)
+    J2, f2 = jacobian_dd_xla(p2, P, y)
+    assert np.array_equal(np.asarray(J1), np.asarray(J2))
+    assert np.array_equal(np.asarray(f1), np.asarray(f2))
+
+
+def test_split_presmod_tiled_matches_unsplit(tmp_path):
+    """The split-grid tiled parts stage (pres-mod rows sorted first;
+    elementary tiles trace a has_pres_mod=False body) produces the
+    same role arrays as the single-kernel stage, modulo the internal
+    permutation and interpret-mode XLA fusion noise (~1e-11)."""
+    import jax
+
+    from pyjac_tpu.ops import doublefloat as df
+    from pyjac_tpu.ops.pallas_dd import (DDA, PallasDDJacobianBig,
+                                         _compute_state_thermo,
+                                         _tiled_role_spec)
+    from pyjac_tpu.testers.synthetic import random_states
+
+    mech, packed = _synth_packed(tmp_path, n_species=9, n_reactions=24,
+                                 seed=7, gri_mix=True)
+    big_s = PallasDDJacobianBig(packed, block_b=8, jb=8, tile_r=8,
+                                sparse_cols=True, parts_kernel=True,
+                                interpret=True)
+    big_u = PallasDDJacobianBig(packed, block_b=8, jb=8, tile_r=8,
+                                sparse_cols=True, parts_kernel=True,
+                                split_presmod=False, interpret=True)
+    assert big_s._split_r1 and big_s._perm is not None
+    assert big_u._split_r1 is None
+    perm = np.asarray(big_s._perm)
+
+    y, _, P = random_states(mech, 16, seed=3)
+    y64, P64 = y.astype(np.float64), P.astype(np.float64)
+    yh = y64.T.astype(np.float32)
+    yl = (y64.T - yh.astype(np.float64)).astype(np.float32)
+    ph = P64[None].astype(np.float32)
+    plo = (P64[None] - ph.astype(np.float64)).astype(np.float32)
+    ydd = DDA(jnp.asarray(yh), jnp.asarray(yl))
+    pdd = DDA(jnp.asarray(ph), jnp.asarray(plo))
+
+    def run(big):
+        Call = {k: jnp.asarray(v) for k, v in big.consts.items()}
+        with df.barrier_mode('xla'):
+            st = jax.jit(lambda: _compute_state_thermo(
+                big.meta, Call, ydd, pdd))()
+        return big.parts_stage(st, 16)
+
+    rp_s, rp_u = run(big_s), run(big_u)
+    for nm in _tiled_role_spec(big_u.meta):
+        if nm.startswith('vals_f'):
+            a, b = rp_s['vals_f'][int(nm[6:])], rp_u['vals_f'][int(nm[6:])]
+        elif nm.startswith('vals_p'):
+            a, b = rp_s['vals_p'][int(nm[6:])], rp_u['vals_p'][int(nm[6:])]
+        else:
+            a, b = rp_s[nm], rp_u[nm]
+        av = np.asarray(a.hi, np.float64) + np.asarray(a.lo, np.float64)
+        bv = (np.asarray(b.hi, np.float64) +
+              np.asarray(b.lo, np.float64))[perm]     # unsplit -> sorted
+        s = max(np.abs(bv).max(), 1e-300)
+        assert np.abs(av - bv).max() / s < 5e-9, nm
+
+
 def _extreme_kc_mech(tmp_path, a5x=36000.0):
     """A+B<=>2X with extreme product thermo: kr = kf/Kc ~ 2.6e39
     overflows the f32 exponent range while every finished Jacobian
