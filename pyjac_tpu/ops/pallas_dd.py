@@ -2137,7 +2137,13 @@ class PallasDDJacobianSparse:
     def __init__(self, packed, block_b: int = 0, block_b_cols: int = 0,
                  jb: int = 8, conp: bool = True, n_dyn: int = 8,
                  log_rates: bool = False, fuse_gather: bool = False,
-                 compact_pdep: bool = True):
+                 compact_pdep: bool = True, interpret: bool = False):
+        # interpret mode is for CPU CI of the *column* kernels only
+        # (stage B / fused stage B numerics, called eagerly — see
+        # tests); the stage-A kernel is impractical in interpret
+        # (>10 min/block, CLAUDE.md) and interpret runs under XLA, so
+        # kernels trace with 'xla' barriers there
+        self.interpret = bool(interpret)
         self.fuse_gather = bool(fuse_gather)
         if not supports(packed):
             raise NotImplementedError(
@@ -2239,10 +2245,11 @@ class PallasDDJacobianSparse:
             out_shapeA = [jax.ShapeDtypeStruct((r, B), jnp.float32)
                           for r in outA_rows]
             argsA = [jnp.asarray(self.consts[nm]) for nm in self.names]
-            with df.barrier_mode('none'):
+            with df.barrier_mode('xla' if self.interpret else 'none'):
                 outsA = pl.pallas_call(
                     kernA, grid=gridA, in_specs=in_specsA,
                     out_specs=out_specsA, out_shape=out_shapeA,
+                    interpret=self.interpret,
                     compiler_params=pltpu.CompilerParams(
                         vmem_limit_bytes=112 * 1024 * 1024),
                 )(*argsA, yh, yl, ph, plo)
@@ -2282,10 +2289,11 @@ class PallasDDJacobianSparse:
                                      jnp.float32)] * 2
             argsB = [jnp.asarray(self.kconstsB[nm])
                      for nm in self.namesB]
-            with df.barrier_mode('none'):
+            with df.barrier_mode('xla' if self.interpret else 'none'):
                 Jh, Jl = pl.pallas_call(
                     kernB, grid=gridB, in_specs=in_specsB,
                     out_specs=out_specsB, out_shape=out_shapeB,
+                    interpret=self.interpret,
                     compiler_params=pltpu.CompilerParams(
                         vmem_limit_bytes=112 * 1024 * 1024,
                         dimension_semantics=('arbitrary', 'arbitrary')),
@@ -2320,10 +2328,11 @@ class PallasDDJacobianSparse:
                                      jnp.float32)] * 2
             argsF = [jnp.asarray(self.kconstsB[nm])
                      for nm in self.namesB]
-            with df.barrier_mode('none'):
+            with df.barrier_mode('xla' if self.interpret else 'none'):
                 Jh, Jl = pl.pallas_call(
                     kernF, grid=gridF, in_specs=in_specsF,
                     out_specs=out_specsF, out_shape=out_shapeF,
+                    interpret=self.interpret,
                     compiler_params=pltpu.CompilerParams(
                         vmem_limit_bytes=112 * 1024 * 1024),
                 )(*argsF, src_h, src_l, nuc2f, *postvals)
@@ -2340,6 +2349,11 @@ class PallasDDJacobianSparse:
             return Jh, Jl, c0h, c0l, fh, fl
 
         # stage entry points for profiling / pipeline experiments
+        # (raw fns first: interpret-mode CI calls them eagerly — a
+        # barriered dd jit on XLA:CPU is a minutes-long compile)
+        self.stage_a_fn = stage_a
+        self.stage_b_fn = stage_b
+        self.stage_b_fused_fn = stage_b_fused
         self.stage_a_tr = jax.jit(stage_a)
         self.stage_gather_tr = jax.jit(stage_gather)
         self.stage_b_tr = jax.jit(stage_b)

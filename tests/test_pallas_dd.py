@@ -444,6 +444,56 @@ def test_parts_tiled_kernel_matches_xla_sections(tmp_path):
         assert np.abs(av - bv).max() / s < 5e-9, nm
 
 
+def test_sparse_stage_b_fused_interpret_numerics(tmp_path):
+    """CPU numerics for the fused-gather stage-B column kernel
+    (previously trace-only in CI; a kernel regression would have
+    surfaced only in a manual on-chip verify).  Stage-A outputs come
+    from the identical eager XLA dd section; the fused kernel runs in
+    interpret mode EAGERLY (a barriered dd jit on XLA:CPU is a
+    minutes-long compile, and eager per-op dispatch keeps every EFT
+    exact) and must match the XLA sparse-expanded reference path."""
+    from pyjac_tpu.ops import doublefloat as df
+    from pyjac_tpu.ops.pallas_dd import (
+        DDA, PallasDDJacobianSparse, _compute_dd, _postcol_stream_spec,
+        _stack_expanded_src, jacobian_dd_xla_sparse)
+
+    mech, packed = _synth_packed(tmp_path, n_species=6, n_reactions=10,
+                                 seed=7, gri_mix=True)
+    B = 8
+    pjs = PallasDDJacobianSparse(packed, block_b=8, block_b_cols=8,
+                                 jb=4, fuse_gather=True, interpret=True)
+    y, P = _states_for(mech, n=B)
+    y64, P64 = y.astype(np.float64), np.asarray(P, np.float64)
+    yh = y64.T.astype(np.float32)
+    yl = (y64.T - yh.astype(np.float64)).astype(np.float32)
+    ph = P64[None].astype(np.float32)
+    plo = (P64[None] - ph.astype(np.float64)).astype(np.float32)
+
+    C = {k: jnp.asarray(v) for k, v in pjs.consts.items()}
+    with df.barrier_mode('xla'):
+        parts = _compute_dd(pjs.meta, C, DDA(jnp.asarray(yh),
+                                             jnp.asarray(yl)),
+                            DDA(jnp.asarray(ph), jnp.asarray(plo)))
+        src = _stack_expanded_src(pjs.meta, C, parts)
+    pad = pjs.n_src_pad - src.hi.shape[0]
+    zpad = jnp.zeros((pad, B), jnp.float32)
+    src_h = jnp.concatenate([src.hi, zpad], 0)
+    src_l = jnp.concatenate([src.lo, zpad], 0)
+    postvals = []
+    for nm, _ in _postcol_stream_spec(pjs.meta):
+        postvals += [parts[nm].hi, parts[nm].lo]
+
+    Jh, Jl = pjs.stage_b_fused_fn(src_h, src_l, postvals)
+    Jk = (np.asarray(Jh, np.float64) +
+          np.asarray(Jl, np.float64))[:pjs.meta['J']].transpose(2, 1, 0)
+
+    Jref, _ = jacobian_dd_xla_sparse(packed, P, y, expanded=True)
+    Jref = np.asarray(Jref)
+    scale = np.abs(Jref).max()
+    err = np.abs(Jk - Jref[:, :, 1:]).max() / scale
+    assert err < 5e-9, err
+
+
 def test_permute_reactions_dd_bitwise(tmp_path):
     """Reaction reordering (core.pack.permute_reactions) is exactly
     invariant on the dd path: per-row math is elementwise and the
