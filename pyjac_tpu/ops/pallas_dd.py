@@ -3172,6 +3172,9 @@ class PallasDDJacobianBig:
                 Jl = Jl.at[di].set(deep_vals.lo.reshape(len(di), N, B))
             return Jh, Jl, col0.hi, col0.lo, f_out.hi, f_out.lo
 
+        # raw fn for eager interpret-mode CI (a barriered dd jit on
+        # XLA:CPU is a minutes-long compile; eager dispatch is exact)
+        self.call_fn = call_tr
         self.call_tr = jax.jit(call_tr)
 
     def __call__(self, y, P):
@@ -3187,7 +3190,11 @@ class PallasDDJacobianBig:
         yl = (y64.T - yh.astype(np.float64)).astype(np.float32)
         ph = P64[None].astype(np.float32)
         plo = (P64[None] - ph.astype(np.float64)).astype(np.float32)
-        Jh, Jl, c0h, c0l, fh, fl = self.call_tr(
+        # interpret mode runs EAGERLY: jitting the barriered dd graph
+        # on XLA:CPU is a minutes-long compile, and eager per-op
+        # dispatch keeps the error-free transformations exact
+        call = self.call_fn if self.interpret else self.call_tr
+        Jh, Jl, c0h, c0l, fh, fl = call(
             jnp.asarray(yh), jnp.asarray(yl), jnp.asarray(ph),
             jnp.asarray(plo))
         cols = (np.asarray(Jh, np.float64) +

@@ -494,6 +494,34 @@ def test_sparse_stage_b_fused_interpret_numerics(tmp_path):
     assert err < 5e-9, err
 
 
+def test_big_pipeline_interpret_numerics(tmp_path):
+    """END-TO-END CPU numerics for the 654-class pipeline (tiled+split
+    parts kernels -> sparse column kernel) in eager interpret mode:
+    the full `PallasDDJacobianBig(sparse_cols=True, parts_kernel=True)`
+    public __call__ against the XLA dd reference.  Previously only the
+    parts SECTION had interpret numerics; the column kernel and the
+    stage plumbing were trace-only in CI."""
+    from pyjac_tpu.ops.pallas_dd import PallasDDJacobianBig
+    from pyjac_tpu.testers.synthetic import random_states
+
+    mech, packed = _synth_packed(tmp_path, n_species=9, n_reactions=24,
+                                 seed=7, gri_mix=True)
+    big = PallasDDJacobianBig(packed, block_b=8, jb=8, tile_r=8,
+                              sparse_cols=True, parts_kernel=True,
+                              interpret=True)
+    assert big._split_r1          # the split path is the default
+    y, _, P = random_states(mech, 8, seed=3)
+    y = y.astype(np.float64)
+    P = P.astype(np.float64)
+    Jk, fk = big(y, P)
+    Jref, fref = jacobian_dd_xla(packed, P, y)
+    Jref, fref = np.asarray(Jref), np.asarray(fref)
+    s = np.abs(Jref).max()
+    assert np.abs(np.asarray(Jk) - Jref).max() / s < 5e-9
+    sf = np.abs(fref).max()
+    assert np.abs(np.asarray(fk) - fref).max() / sf < 5e-9
+
+
 def test_permute_reactions_dd_bitwise(tmp_path):
     """Reaction reordering (core.pack.permute_reactions) is exactly
     invariant on the dd path: per-row math is elementwise and the
