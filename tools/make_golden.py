@@ -199,6 +199,19 @@ def load_states(args, n_sp):
         extra = {k: np.asarray(g[k]) for k in g.files
                  if not k.startswith('ref_') and k not in ('T', 'y')}
         return np.asarray(T), np.asarray(param), np.asarray(g['y']), extra
+    if args.states_npz:
+        # states cached by tools/make_bench_states.py: y is (B, N) with
+        # y[:, 0] = T already in the pivoted order (for mechanisms
+        # without an N2/Ar/He bath species both this repo and the
+        # reference pivot the final file species, so the orders agree
+        # and y passes through — create_jacobian.py:3503-3542)
+        d = np.load(args.states_npz)
+        y = np.asarray(d['y'], np.float64)
+        param = np.asarray(d['P'], np.float64)
+        if args.num_states:
+            idx = np.linspace(0, len(y) - 1, args.num_states).astype(int)
+            y, param = y[idx], param[idx]
+        return y[:, 0], param, y, {}
     if args.pasr:
         d = np.load(args.pasr).reshape(-1, 3 + n_sp)
         if args.num_states:
@@ -221,11 +234,19 @@ def main(argv=None):
     ap.add_argument('--synthetic', default=None,
                     help='n_species,n_reactions,seed — regenerate the '
                          'synthetic mechanism instead of --mech')
+    ap.add_argument('--plausible', default=None,
+                    help='n_species,n_reactions,seed — regenerate the '
+                         'thermodynamically-consistent flagship '
+                         'mechanism (testers.synthetic.'
+                         'plausible_mechanism) instead of --mech')
     ap.add_argument('--from-golden', dest='from_golden', default=None,
                     help='reuse the states stored in an existing golden '
                          'npz (for bit-identical regeneration)')
     ap.add_argument('--pasr', default=None,
                     help='PaSR dump .npy [t, T, P, Y...] for new states')
+    ap.add_argument('--states-npz', dest='states_npz', default=None,
+                    help='bench-state cache npz with y=(B,N) incl T '
+                         'col 0 (pivoted order) and P=(B,)')
     ap.add_argument('--num-states', dest='num_states', type=int,
                     default=None)
     ap.add_argument('--conv', action='store_true')
@@ -241,14 +262,18 @@ def main(argv=None):
 
     tmp = args.keep or tempfile.mkdtemp(prefix='refc_')
     mech = args.mech
-    if args.synthetic:
-        ns, nr, seed = (int(x) for x in args.synthetic.split(','))
+    if args.synthetic or args.plausible:
+        spec = args.synthetic or args.plausible
+        ns, nr, seed = (int(x) for x in spec.split(','))
         sys.path.insert(0, os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))))
-        from pyjac_tpu.testers.synthetic import synthetic_mechanism
+        from pyjac_tpu.testers.synthetic import (plausible_mechanism,
+                                                 synthetic_mechanism)
+        gen = plausible_mechanism if args.plausible else \
+            synthetic_mechanism
         mech = os.path.join(tmp, 'synth.inp')
         os.makedirs(tmp, exist_ok=True)
-        open(mech, 'w').write(synthetic_mechanism(
+        open(mech, 'w').write(gen(
             n_species=ns, n_reactions=nr, seed=seed))
         args.mech = mech
 
