@@ -148,6 +148,51 @@ int main(int argc, char *argv[]) {
 '''
 
 
+def _fix_netzero_reactions(build_dir):
+    """Fix the reference codegen's empty-sum emission for reversible
+    reactions with net-zero stoichiometry (reactants == products, e.g.
+    an energy-transfer collision channel).  pyJac v1.0.6 emits the
+    ``sum(nu_k * B_k)`` / ``sum(nu_k * dBdT_k)`` joins unguarded
+    (rate_subs.py:744-766 Kc sum, create_jacobian.py:786-805 dBdT sum),
+    so a net-zero reaction produces
+
+    * ``Kc = <coef> * exp(Kc);`` with **no prior Kc assignment** in the
+      reaction block — silently reuses the previous reaction's Kc
+      (wrong value, compiles), and
+    * ``rev_rates[i] * (-1.0 + )) * rho_inv;`` in the Jacobian dT
+      partial — an empty sum AND a dropped closing paren (does not
+      compile).
+
+    The correct empty-sum value is 0 (Kc == coef * exp(0), dBdT sum
+    == 0), and such a reaction contributes nothing to spec_rates/jac —
+    the reference's own spec_rates.c emits an empty block for it.
+    Token-level fixes only; nothing else is modified."""
+    import re
+    for root, _dirs, files in os.walk(build_dir):
+        for f in files:
+            if not f.endswith('.c'):
+                continue
+            p = os.path.join(root, f)
+            txt = open(p).read()
+            fixed = txt
+            # (a) empty dBdT sum + dropped paren in the jacob dT term
+            fixed = fixed.replace('(-1.0 + )) * rho_inv;',
+                                  '(-1.0 + 0.0))) * rho_inv;')
+            # (b) exp(Kc) with no Kc sum assigned in the same reaction
+            # block: the block runs from '//rxn N' (or '//partial of
+            # rxn N') to the next such marker
+            blocks = re.split(r'(//(?:partial of )?rxn \d+)', fixed)
+            for i in range(2, len(blocks), 2):
+                body = blocks[i]
+                cut = body.find('exp(Kc)')
+                if cut != -1 and 'Kc = (' not in body[:cut] \
+                        and 'Kc += ' not in body[:cut]:
+                    blocks[i] = body.replace('exp(Kc)', 'exp(0.0)', 1)
+            fixed = ''.join(blocks)
+            if fixed != txt:
+                open(p, 'w').write(fixed)
+
+
 def generate_reference_c(mech, therm, build_dir, conv=False):
     """Run the reference's codegen; apply the two documented one-token
     CONV syntax fixes to the emitted text."""
@@ -157,6 +202,7 @@ def generate_reference_c(mech, therm, build_dir, conv=False):
     create_jacobian(lang='c', mech_name=mech, therm_name=therm,
                     build_path=build_dir + '/', optimize_cache=False,
                     auto_diff=False)
+    _fix_netzero_reactions(build_dir)
     if conv:
         hdr = os.path.join(build_dir, 'header.h')
         txt = open(hdr).read()
@@ -182,6 +228,14 @@ def compile_driver(build_dir, driver_src, exe):
     open(drv, 'w').write(driver_src)
     srcs = [os.path.join(build_dir, f) for f in os.listdir(build_dir)
             if f.endswith('.c') and f != 'driver.c']
+    # mechanisms past the unroll caps emit split subfiles under
+    # jacobs/ and rates/ (reference: create_jacobian.py:2213-2221,
+    # libgen.py:256-319 reads the jac_list_*/rate_list_* manifests)
+    for sub in ('jacobs', 'rates'):
+        d = os.path.join(build_dir, sub)
+        if os.path.isdir(d):
+            srcs += [os.path.join(d, f) for f in sorted(os.listdir(d))
+                     if f.endswith('.c')]
     cmd = ['gcc', '-O2', '-std=c99', '-I', build_dir, drv] + srcs + \
         ['-lm', '-o', exe]
     subprocess.run(cmd, check=True)
