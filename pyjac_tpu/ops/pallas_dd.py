@@ -1754,11 +1754,47 @@ def _sparse_col_contract(meta, SC, p1c_j: DDA, nuc_j, n_dyn=None):
         w_dyn=7, n_dyn=n_dyn, bits=7 * n_dyn + 16)
 
 
+def dd_sparse_parts_fn(packed, conp: bool = True, n_dyn: int = 8,
+                       log_rates: bool = False,
+                       compact_pdep: bool = True, jit: bool = True):
+    """The straight-line parts section of
+    :func:`jacobian_dd_xla_sparse` (state/thermo + per-reaction parts,
+    :func:`_compute_dd`) as a standalone jitted callable
+    ``(y_hi, y_lo, p_hi, p_lo) -> parts dict``.
+
+    Why this exists: the eager multi-device gate
+    (:func:`pyjac_tpu.parallel.mesh.sharded_jacobian_dd_xla_sparse`,
+    ``jit=False``) evaluates the parts section once outside
+    ``shard_map`` and feeds its outputs in as batch-sharded inputs —
+    eager ``shard_map`` costs ~0.25 s per primitive (557 s for the
+    full tiny-mech trace vs 9 s plain eager, measured 2026-08-19),
+    and the parts section is the bulk of the op count.
+
+    WARNING on ``jit=True`` with XLA:CPU: a *compiled* barriered dd
+    graph there does NOT reproduce the eager op-by-op results — the
+    backend recomputes the low-word chains (combined dd drift ~1e-7,
+    2^-24 class, measured on cp/col0/f_out at the 4-species fixture;
+    ``--xla_allow_excess_precision=false`` does not restore them).
+    Compare compiled-vs-compiled or eager-vs-eager, never across; on
+    TPU the Mosaic kernels (not this path) are the compiled product.
+    """
+    consts, meta = _consts_dd(packed, conp=conp, n_dyn=n_dyn,
+                              log_rates=log_rates,
+                              compact_pdep=compact_pdep)
+    C = {k: jnp.asarray(v) for k, v in consts.items()}
+
+    def f(yh, yl, ph, plo):
+        return _compute_dd(meta, C, DDA(yh, yl), DDA(ph, plo))
+
+    return jax.jit(f) if jit else f
+
+
 def jacobian_dd_xla_sparse(packed, param, y, conp: bool = True,
                            n_dyn: int = 8, log_rates: bool = False,
                            expanded: bool = False,
                            fast_trace: bool = False,
-                           compact_pdep: bool = True):
+                           compact_pdep: bool = True,
+                           parts_fn=None):
     """(J, dydt) like :func:`jacobian_dd_xla`, but assembling the
     species block through the compressed per-column reaction sets
     (``_sparse_col_pack``) instead of dense (R, B) columns.
@@ -1777,6 +1813,11 @@ def jacobian_dd_xla_sparse(packed, param, y, conp: bool = True,
     accuracy caveat — structural use only, the unrolled CPU graph's
     XLA optimization takes minutes/shape even barrier-free).
     Requires a deep-column-free mechanism.
+
+    ``parts_fn``: optional callable from :func:`dd_sparse_parts_fn`
+    (same packed + flags) replacing the inline parts section — share
+    one instance across calls to reuse its jit cache (the eager
+    shard_map use case).
     """
     if not jax.config.jax_enable_x64:
         raise RuntimeError('jacobian_dd_xla_sparse needs jax_enable_x64')
@@ -1792,7 +1833,8 @@ def jacobian_dd_xla_sparse(packed, param, y, conp: bool = True,
     p_hi, p_lo = _split64(jnp.reshape(jnp.broadcast_to(
         jnp.asarray(param, jnp.float64), jnp.asarray(y).shape[:-1]),
         (1, -1)))
-    parts = _compute_dd(meta, C, DDA(y_hi, y_lo), DDA(p_hi, p_lo))
+    parts = (parts_fn(y_hi, y_lo, p_hi, p_lo) if parts_fn is not None
+             else _compute_dd(meta, C, DDA(y_hi, y_lo), DDA(p_hi, p_lo)))
     if expanded:
         src = _stack_expanded_src(meta, C, parts)
         gi = jnp.asarray(SC['gidx']).reshape(-1)
@@ -3099,6 +3141,11 @@ class PallasDDJacobianBig:
                              _column_block_dd(meta, Call, parts,
                                               specs)])
                 return out, parts['col0'], parts['f_out'], deep_cols
+
+            # exposed for stage-share profiling (tools/probe_onchip.py
+            # big654: everything the column kernel streams, as one
+            # jittable unit)
+            self.tiled_stage = tiled_stage
 
         def call_tr(yh, yl, ph, plo):
             B = yh.shape[-1]

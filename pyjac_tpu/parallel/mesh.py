@@ -429,6 +429,110 @@ def sharded_jacobian_dd_xla(packed, mesh: Mesh, conp: bool = True,
     return step
 
 
+def sharded_jacobian_dd_xla_sparse(packed, mesh: Mesh, conp: bool = True,
+                                   n_dyn: int = 8,
+                                   fast_trace: bool = False,
+                                   barriers: Optional[bool] = None,
+                                   jit: bool = False):
+    """:func:`sharded_jacobian_dd_xla` with the HEADLINE kernel's math:
+    the compressed per-column ("touched") assembly of
+    ``jacobian_dd_xla_sparse`` — the same column economy the fused
+    Pallas sparse pipeline traces (reference touched[] analog,
+    create_jacobian.py:2650-2938) — under ``shard_map`` over any mesh.
+    The multi-chip dry run gates this against the identical unsharded
+    trace, so the flagship pipeline's math (not just the dense dd) is
+    multi-device-validated numerically.
+
+    ``jit`` defaults to False — the CPU (virtual-mesh dry run) mode,
+    shaped by two measured XLA:CPU pathologies (2026-08-19, tiny
+    4-species fixture):
+
+    * whole-graph *optimization* of the barriered compressed-column
+      dd trace runs >35 min (vs ~75 s for the dense dd — the sparse
+      assembly's gather chains multiply the barrier-chain passes), so
+      the step cannot simply be jitted;
+    * ANY compiled execution of the barriered dd graph on XLA:CPU
+      drifts ~1e-7 (2^-24 class) from the eager op-by-op result —
+      the low-word chains are recomputed by the backend even with
+      barriers, and ``--xla_allow_excess_precision=false`` does not
+      restore them — so a compiled inner section cannot be compared
+      against an eager reference either;
+    * eager ``shard_map`` costs ~0.25 s PER PRIMITIVE regardless of
+      mesh size (557 s for the full trace vs 9 s plain eager; 466 s
+      on a 2-device mesh), so the whole trace cannot run under it.
+
+    Resolution: the straight-line parts section (state/thermo +
+    per-reaction parts — the bulk of the op count, and the math the
+    DENSE dd gate already validates compiled-under-shard_map) runs
+    ONCE, eagerly and unsharded; its (·, B) outputs enter the
+    ``shard_map`` as batch-sharded *inputs*, and only the
+    sparse-specific compressed-column assembly + the cross-chip norm
+    collective execute per-op under the mesh (~8 s).  Every dd op is
+    batch-elementwise, so eager per-op results are bit-identical
+    whole-batch or sharded — the sharded-vs-unsharded gate measures
+    dJ = 0.0 exactly.  On TPU, ``jit=True`` compiles the whole step
+    under shard_map (Mosaic/remote XLA does not exhibit the CPU pass
+    blowup).
+    """
+    from functools import partial as _partial
+
+    from ..ops import doublefloat as df
+    from ..ops.pallas_dd import (_split64, dd_sparse_parts_fn,
+                                 jacobian_dd_xla_sparse)
+
+    sh = P('batch')
+    if barriers is None:
+        barriers = not fast_trace
+    mode = 'xla' if barriers else 'none'
+
+    if jit:
+        @_partial(jax.shard_map, mesh=mesh, in_specs=(sh, sh),
+                  out_specs=(sh, sh, P()))
+        def step(y, param):
+            with df.barrier_mode(mode):
+                J, f = jacobian_dd_xla_sparse(packed, param, y,
+                                              conp=conp, n_dyn=n_dyn,
+                                              fast_trace=fast_trace)
+            local = jnp.max(jnp.abs(J)) + jnp.max(jnp.abs(f))
+            norm = jax.lax.pmax(local, 'batch')    # rides the ICI
+            return J, f, norm
+
+        return jax.jit(step)
+
+    parts_fn = dd_sparse_parts_fn(packed, conp=conp, n_dyn=n_dyn,
+                                  jit=False)
+
+    def step(y, param):
+        y = jnp.asarray(y, jnp.float64)
+        param = jnp.asarray(param, jnp.float64)
+        B = y.shape[0]
+        with df.barrier_mode(mode):
+            yh, yl = _split64(y.T)
+            ph, plo = _split64(jnp.reshape(
+                jnp.broadcast_to(param, y.shape[:-1]), (1, -1)))
+            parts = parts_fn(yh, yl, ph, plo)
+        pspec = jax.tree.map(
+            lambda x: P(None, 'batch') if x.shape[-1] == B else P(),
+            parts)
+
+        @_partial(jax.shard_map, mesh=mesh,
+                  in_specs=(sh, sh, pspec), out_specs=(sh, sh, P()))
+        def asm(y_, param_, parts_):
+            with df.barrier_mode(mode):
+                J, f = jacobian_dd_xla_sparse(
+                    packed, param_, y_, conp=conp, n_dyn=n_dyn,
+                    fast_trace=fast_trace,
+                    parts_fn=lambda *_: parts_)
+            local = jnp.max(jnp.abs(J)) + jnp.max(jnp.abs(f))
+            norm = jax.lax.pmax(local, 'batch')    # rides the ICI
+            return J, f, norm
+
+        return asm(y, param, parts)
+
+    step.parts_fn = parts_fn
+    return step
+
+
 def initialize_distributed(coordinator_address: Optional[str] = None,
                            num_processes: Optional[int] = None,
                            process_id: Optional[int] = None) -> None:

@@ -191,6 +191,47 @@ def test_sharded_dd_matches_unsharded_executed(tiny_packed_mech):
     assert np.abs(np.asarray(f) - f_ref).max() / fscale < 1e-12
 
 
+def test_sharded_sparse_dd_matches_unsharded_executed(tiny_packed_mech):
+    """The HEADLINE kernel's math (compressed per-column dd assembly,
+    the fused sparse pipeline's trace) under shard_map: same
+    sharded-vs-unsharded numerical gate as the dense dd test (round-4
+    verdict stretch item 8), and the gate is exact (dJ = 0.0): eager
+    per-op dd results are bit-identical whole-batch or sharded."""
+    from pyjac_tpu.ops import doublefloat as df
+    from pyjac_tpu.ops.pallas_dd import jacobian_dd_xla_sparse
+    from pyjac_tpu.parallel.mesh import sharded_jacobian_dd_xla_sparse
+    from pyjac_tpu.testers.synthetic import random_states
+
+    tmech, tpacked = tiny_packed_mech
+    n_dev = 2
+    mesh = make_mesh(n_dev)
+    # jit=False: the eager/virtual-mesh mode — parts once eagerly,
+    # sparse assembly + norm collective per-op under shard_map (see
+    # sharded_jacobian_dd_xla_sparse for the three measured XLA:CPU
+    # pathologies that force this split)
+    step = sharded_jacobian_dd_xla_sparse(tpacked, mesh, n_dyn=5,
+                                          fast_trace=True,
+                                          barriers=True, jit=False)
+    B = 4 * n_dev
+    y, _, P = random_states(tmech, B, seed=4)
+    y = jnp.asarray(y, jnp.float64)
+    P = jnp.asarray(P, jnp.float64)
+    J, f, norm = step(y, P)
+    assert bool(jnp.isfinite(norm))
+
+    # one full-batch eager pass: dd ops are elementwise in batch, so
+    # eager per-op results are bit-identical whole or sharded
+    with df.barrier_mode('xla'):
+        Jr, fr = jacobian_dd_xla_sparse(tpacked, P, y, conp=True,
+                                        n_dyn=5, fast_trace=True)
+    J_ref = np.asarray(Jr)
+    f_ref = np.asarray(fr)
+    assert np.abs(np.asarray(J) - J_ref).max() / \
+        np.abs(J_ref).max() < 1e-12
+    assert np.abs(np.asarray(f) - f_ref).max() / \
+        np.abs(f_ref).max() < 1e-12
+
+
 def test_sharded_step_dd_traces(h2o2_packed):
     """Parity-precision multi-chip step: the dd Pallas kernel under
     jax.shard_map over the batch axis. Executed compiled on a real-chip
