@@ -193,41 +193,69 @@ def _timed_eval_dd(packed, method: str, y: np.ndarray, P: np.ndarray,
     P64 = np.broadcast_to(np.asarray(P, np.float64), y64.shape[:1])
 
     if jax.default_backend() != 'cpu':
-        from ..ops.pallas_dd import (PallasDDJacobian,
-                                     PallasDDJacobianSparse)
-        if method == 'dd-sparse':
-            pj = PallasDDJacobianSparse(packed, fuse_gather=True)
-        else:
-            pj = PallasDDJacobian(packed)
-        blk = max(pj.block_b, getattr(pj, 'block_b_cols', 0))
-        pad = (-len(y64)) % blk
-        if pad:
-            y64 = np.concatenate([y64, np.repeat(y64[-1:], pad, 0)], 0)
-            P64 = np.concatenate([P64, np.repeat(P64[-1:], pad, 0)], 0)
-        yh = y64.T.astype(np.float32)
-        yl = (y64.T - yh.astype(np.float64)).astype(np.float32)
-        ph = P64[None].astype(np.float32)
-        plo = (P64[None] - ph.astype(np.float64)).astype(np.float32)
-        args = tuple(map(jnp.asarray, (yh, yl, ph, plo)))
-        fn = jax.jit(lambda a, b, c, d: _checksum(pj.call_tr(a, b, c, d)))
+        # the dd kernels are pure-f32 (hi, lo) programs; under the
+        # sweep's global jax_enable_x64 (needed by the CPU fallback and
+        # the f64 XLA methods) Mosaic gets i64 grid scalars and fails
+        # to legalize ('func.return (i32, i64)', measured 2026-08-19) —
+        # trace and run them with x64 off, exactly like bench.py
+        x64_was = bool(jax.config.jax_enable_x64)
+        if x64_was:
+            jax.config.update('jax_enable_x64', False)
+        try:
+            return _timed_eval_dd_tpu(packed, method, y64, P64, best_of)
+        finally:
+            if x64_was:
+                jax.config.update('jax_enable_x64', True)
+
+    # CPU fallback: same dd math, executed EAGERLY — jitting the
+    # whole barriered dd graph sends XLA:CPU optimization into
+    # minutes/shape even at 6 species (the barrier-chain passes),
+    # while eager op-by-op execution avoids the monster compile
+    # entirely.  CPU numbers are structural (the product path is
+    # the TPU kernels); dd *accuracy* is validated by the golden
+    # tests and on-chip.
+    from ..ops.pallas_dd import jacobian_dd_xla, jacobian_dd_xla_sparse
+    args = (jnp.asarray(P64), jnp.asarray(y64))
+    if method == 'dd-sparse':
+        def fn(p, yy):
+            return _checksum(jacobian_dd_xla_sparse(
+                packed, p, yy, expanded=True))
     else:
-        # CPU fallback: same dd math, executed EAGERLY — jitting the
-        # whole barriered dd graph sends XLA:CPU optimization into
-        # minutes/shape even at 6 species (the barrier-chain passes),
-        # while eager op-by-op execution avoids the monster compile
-        # entirely.  CPU numbers are structural (the product path is
-        # the TPU kernels); dd *accuracy* is validated by the golden
-        # tests and on-chip.
-        from ..ops.pallas_dd import (jacobian_dd_xla,
-                                     jacobian_dd_xla_sparse)
-        args = (jnp.asarray(P64), jnp.asarray(y64))
-        if method == 'dd-sparse':
-            def fn(p, yy):
-                return _checksum(jacobian_dd_xla_sparse(
-                    packed, p, yy, expanded=True))
-        else:
-            def fn(p, yy):
-                return _checksum(jacobian_dd_xla(packed, p, yy))
+        def fn(p, yy):
+            return _checksum(jacobian_dd_xla(packed, p, yy))
+
+    chk = float(fn(*args))               # compile + warm
+    if not np.isfinite(chk):
+        raise RuntimeError('non-finite checksum in %s timing' % method)
+    best = float('inf')
+    for _ in range(best_of):
+        t0 = time.perf_counter()
+        float(fn(*args))                 # host sync via scalar transfer
+        best = min(best, time.perf_counter() - t0)
+    return best * 1e3
+
+
+def _timed_eval_dd_tpu(packed, method: str, y64: np.ndarray,
+                       P64: np.ndarray, best_of: int) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.pallas_dd import PallasDDJacobian, PallasDDJacobianSparse
+    if method == 'dd-sparse':
+        pj = PallasDDJacobianSparse(packed, fuse_gather=True)
+    else:
+        pj = PallasDDJacobian(packed)
+    blk = max(pj.block_b, getattr(pj, 'block_b_cols', 0))
+    pad = (-len(y64)) % blk
+    if pad:
+        y64 = np.concatenate([y64, np.repeat(y64[-1:], pad, 0)], 0)
+        P64 = np.concatenate([P64, np.repeat(P64[-1:], pad, 0)], 0)
+    yh = y64.T.astype(np.float32)
+    yl = (y64.T - yh.astype(np.float64)).astype(np.float32)
+    ph = P64[None].astype(np.float32)
+    plo = (P64[None] - ph.astype(np.float64)).astype(np.float32)
+    args = tuple(map(jnp.asarray, (yh, yl, ph, plo)))
+    fn = jax.jit(lambda a, b, c, d: _checksum(pj.call_tr(a, b, c, d)))
 
     chk = float(fn(*args))               # compile + warm
     if not np.isfinite(chk):

@@ -55,6 +55,9 @@ def _write_mech(kind):
         # plausible(111,784,5) measures max|J| ~9e17, 102 pres-mod rows
         'usc2': lambda: plausible_mechanism(111, 784, seed=5),
         'fullfeat': lambda: synthetic_mechanism(9, 24, seed=7),
+        # LLNL n-heptane class (BASELINE config 5); plausible for the
+        # same range reason as usc2 (max|J| ~6.4e17 over 64 states)
+        'big654': lambda: plausible_mechanism(654, 2716, seed=5),
     }[kind]()
     fh = tempfile.NamedTemporaryFile('w', suffix='.inp', delete=False)
     fh.write(text)
@@ -234,16 +237,72 @@ def job_fullfeat(B=262144):
              compile_s))
 
 
+def job_big654(B=1024, block_b=128, jb=16, tile_r=512,
+               skip_split=False):
+    """654-class tiled+split parts pipeline: throughput + the stage
+    split the round-5 docs cite (full pass vs everything-the-column-
+    kernel-streams), with the kernel-shape knobs exposed so tuning
+    configs are one flag away (each config is a fresh ~10-min remote
+    compile — budget accordingly)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pyjac_tpu.ops.pallas_dd import DDA, PallasDDJacobianBig
+    from pyjac_tpu.testers.synthetic import random_states
+
+    mech, packed = _packed('big654')
+    pj = PallasDDJacobianBig(packed, block_b=block_b, jb=jb,
+                             tile_r=tile_r, sparse_cols=True,
+                             parts_kernel=True, split_presmod=True)
+    print('big654 config: block_b=%d jb=%d tile_r=%d split_r1=%s '
+          'Rmax=%d' % (block_b, jb, tile_r, pj._split_r1,
+                       pj.SC['Rmax']))
+
+    y, _, P = random_states(mech, B, seed=1, T_range=(1500.0, 2500.0))
+    args = tuple(_split_tr(y.astype(np.float64), P.astype(np.float64)))
+    fn = jax.jit(lambda a, b, c, d: [jnp.sum(x)
+                                     for x in pj.call_tr(a, b, c, d)])
+    rate, best, compile_s, times = _throughput(fn, args, B, queue=4)
+    print('big654 tiled+split parts pipeline: %.0f evals/s/chip '
+          '(B=%d, best %.4fs, passes %s, compile %.0fs)'
+          % (rate, B, best, ['%.3f' % t for t in times], compile_s))
+
+    if skip_split:
+        return
+    # stage split: tiled_stage = state/thermo (XLA) + Mosaic parts
+    # tiles + closure/compressed assembly — everything upstream of the
+    # column kernel.  Column-kernel share = full - tiled.
+    def tiled_sum(a, b, c, d):
+        out, col0, f_out, _ = pj.tiled_stage(DDA(a, b), DDA(c, d),
+                                             a.shape[-1])
+        acc = jnp.sum(f_out.hi)
+        for v in out:
+            acc = acc + jnp.sum(v)
+        return [acc]
+    ft = jax.jit(tiled_sum)
+    _, bestt, ct, _ = _throughput(ft, args, B, queue=4)
+    print('big654 tiled (parts) stage alone: %.4fs of %.4fs '
+          '(%.0f%%; column kernel ~%.4fs; stage compile %.0fs)'
+          % (bestt, best, 100.0 * bestt / best, best - bestt, ct))
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument('job', choices=['flagship-verify', 'usc2',
-                                    'fullfeat'])
+                                    'fullfeat', 'big654'])
     ap.add_argument('--b', type=int, default=0)
+    ap.add_argument('--block-b', type=int, default=128)
+    ap.add_argument('--jb', type=int, default=16)
+    ap.add_argument('--tile-r', type=int, default=512)
+    ap.add_argument('--skip-split', action='store_true')
     args = ap.parse_args()
     if args.job == 'flagship-verify':
         job_flagship_verify()
     elif args.job == 'usc2':
         job_usc2(**({'B': args.b} if args.b else {}))
+    elif args.job == 'big654':
+        job_big654(B=args.b or 1024, block_b=args.block_b, jb=args.jb,
+                   tile_r=args.tile_r, skip_split=args.skip_split)
     else:
         job_fullfeat(**({'B': args.b} if args.b else {}))
 
