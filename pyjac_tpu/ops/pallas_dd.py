@@ -49,6 +49,7 @@ from ..core.constants import PA, RU
 from . import ddx
 from . import doublefloat as df
 from .ddx import DDA
+from .pallas_jacobian import check_state_width
 from .pallas_jacobian import supports as pallas_supports
 
 _TINY32 = np.float32(1.0e-30)
@@ -679,6 +680,21 @@ def _sparse_col_pack_expanded(packed, meta, jb: int = 8):
         nu_max_l1=max(max_l1, 1),
         deep_cols=np.nonzero(deep[:J])[0],
     )
+
+
+def _p1c_from_parts(meta, SC, C, parts, expanded: bool):
+    """Compressed assembly operand (J_pad, Rmax, B) dd from the parts
+    dict: plain tables -> :func:`_assemble_p1c` (four static gathers +
+    dd arithmetic at the expansion size); expanded tables -> ONE
+    static gather of the :func:`_stack_expanded_src` stack (the
+    arithmetic collapses to the (R, B) source build)."""
+    if expanded:
+        src = _stack_expanded_src(meta, C, parts)
+        gi = jnp.asarray(SC['gidx']).reshape(-1)
+        return DDA(jnp.take(src.hi, gi, axis=0),
+                   jnp.take(src.lo, gi, axis=0)).reshape(
+                       SC['J_pad'], SC['Rmax'], -1)
+    return _assemble_p1c(meta, SC, parts)
 
 
 def _assemble_p1c(meta, SC, parts):
@@ -2404,6 +2420,7 @@ class PallasDDJacobianSparse:
 
     def __call__(self, y, P):
         N, J = self.meta['N'], self.meta['J']
+        check_state_width(y, N, 'PallasDDJacobianSparse')
         blk = max(self.block_b, self.block_b_cols)
         y64 = np.asarray(y, np.float64)
         P64 = np.broadcast_to(np.asarray(P, np.float64), y64.shape[:1])
@@ -2519,6 +2536,7 @@ class PallasDDJacobian:
         self.call_tr = jax.jit(call_tr)
 
     def __call__(self, y, P):
+        check_state_width(y, self.meta['N'], 'PallasDDJacobian')
         y64 = np.asarray(y, np.float64)
         P64 = np.broadcast_to(np.asarray(P, np.float64), y64.shape[:1])
         B = y64.shape[0]
@@ -2776,9 +2794,11 @@ class PallasDDJacobianBig:
                  n_dyn: int = 8, sparse_cols: bool = False,
                  log_rates: bool = False, parts_kernel: bool = False,
                  tile_r: int = 512, compact_pdep: bool = None,
-                 split_presmod: bool = None):
+                 split_presmod: bool = None,
+                 expanded_cols: bool = False):
         self.packed = packed
         self.block_b = block_b
+        self.expanded_cols = bool(expanded_cols)
         self.jb = jb
         self.interpret = interpret
         self.sparse_cols = bool(sparse_cols)
@@ -2833,7 +2853,20 @@ class PallasDDJacobianBig:
         meta['jb'] = jb
         N, R, J = meta['N'], meta['R'], meta['J']
         Sf, Sp = meta['Sf'], meta['Sp']
-        SC = _sparse_col_pack(packed, meta, jb=jb) if sparse_cols else None
+        # expanded_cols: the flagship fused-gather trick at big-mech
+        # scale — the compressed assembly operand becomes ONE static
+        # gather of a (n_src, B) per-reaction source stack instead of
+        # four jnp.take gathers (~76 GB/s each on this TPU) plus
+        # barriered dd arithmetic on the (J_pad*Rmax, B) expansion;
+        # the dd muls (psi_q * effval) happen at (R, B) instead.
+        # Same Rmax/J_pad/kernel layout (the column kernel is
+        # pack-agnostic: nuc x p1c + _post_col corrections).
+        if sparse_cols:
+            SC = (_sparse_col_pack_expanded(packed, meta, jb=jb)
+                  if expanded_cols
+                  else _sparse_col_pack(packed, meta, jb=jb))
+        else:
+            SC = None
         self.SC = SC
         # the kernel only needs the column-loop constants; drop the
         # parts-stage tables from its argument list
@@ -2945,7 +2978,8 @@ class PallasDDJacobianBig:
                     C2['cpd_hi'], C2['cpd_lo'] = cpd.hi, cpd.lo
             parts = _compute_dd(meta, C2, ydd, pdd)
             if self.sparse_cols:
-                p1c3 = _assemble_p1c(meta, SC, parts)
+                p1c3 = _p1c_from_parts(meta, SC, C2, parts,
+                                       self.expanded_cols)
                 parts['p1c'] = p1c3.reshape(
                     SC['J_pad'] * SC['Rmax'], -1)
             out = []
@@ -3111,7 +3145,8 @@ class PallasDDJacobianBig:
                 with df.barrier_mode('xla'):
                     parts = _finish_dd(meta, Call, st, rp)
                     if self.sparse_cols:
-                        p1c3 = _assemble_p1c(meta, SC, parts)
+                        p1c3 = _p1c_from_parts(meta, SC, Call, parts,
+                                               self.expanded_cols)
                         parts['p1c'] = p1c3.reshape(
                             SC['J_pad'] * SC['Rmax'], -1)
                     out = []
@@ -3226,6 +3261,7 @@ class PallasDDJacobianBig:
 
     def __call__(self, y, P):
         N, J = self.meta['N'], self.meta['J']
+        check_state_width(y, N, 'PallasDDJacobianBig')
         y64 = np.asarray(y, np.float64)
         P64 = np.broadcast_to(np.asarray(P, np.float64), y64.shape[:1])
         B = y64.shape[0]

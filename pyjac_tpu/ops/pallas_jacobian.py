@@ -94,6 +94,23 @@ def _dot_ex(a, b):
                    preferred_element_type=jnp.float32)
 
 
+def check_state_width(y, n_state: int, cls: str) -> None:
+    """Validate the (B, N) state batch width up front.
+
+    A wrong-width batch (the classic mistake: states drawn for a
+    different variant of the same mechanism, e.g. the 10-species
+    ``.cti`` vs the 9-species ``.inp`` H2/O2) otherwise surfaces as an
+    inscrutable Mosaic block-shape lowering error deep inside
+    ``pallas_call``."""
+    shape = getattr(y, 'shape', None)
+    if shape is None or len(shape) != 2 or shape[1] != n_state:
+        raise ValueError(
+            '%s: state batch must be (B, %d) = [T, Y_1..Y_%d] for this '
+            'mechanism (got %s); check that the states were drawn for '
+            'the SAME mechanism file the kernel was packed from'
+            % (cls, n_state, n_state - 1, (shape,)))
+
+
 def supports(packed) -> bool:
     """Whether this kernel covers the mechanism's reaction categories.
 
@@ -833,6 +850,7 @@ class PallasJacobian:
         self.call_tr = jax.jit(call_tr)
 
     def __call__(self, y, P):
+        check_state_width(y, self.packed.n_species, 'PallasJacobian')
         y = jnp.asarray(y, jnp.float32)
         P = jnp.asarray(P, jnp.float32)
         B = y.shape[0]

@@ -84,6 +84,26 @@ def test_dd_xla_vs_reference_c_golden(h2o2, golden):
 # fixtures and the XLA path (docs/performance.md).
 
 
+def test_kernel_rejects_wrong_state_width(tmp_path):
+    """A (B, N') batch from a DIFFERENT mechanism variant must raise a
+    clear ValueError up front, not a Mosaic block-shape lowering error
+    (hit in practice pairing 10-species .cti states with the 9-species
+    .inp pack)."""
+    from pyjac_tpu.ops.pallas_dd import (PallasDDJacobian,
+                                         PallasDDJacobianBig,
+                                         PallasDDJacobianSparse)
+    from pyjac_tpu.ops.pallas_jacobian import PallasJacobian
+    from pyjac_tpu.testers.synthetic import plausible_mechanism
+    path = tmp_path / 'plaus.inp'
+    path.write_text(plausible_mechanism(12, 30, seed=2))
+    packed = pack(Mechanism.from_files(str(path)))
+    bad = np.ones((8, packed.n_species + 1))
+    for cls in (PallasJacobian, PallasDDJacobian, PallasDDJacobianBig,
+                PallasDDJacobianSparse):
+        with pytest.raises(ValueError, match='state batch'):
+            cls(packed, interpret=True)(bad, np.full(8, 101325.0))
+
+
 def test_dd_xla_all_features_synthetic(tmp_path):
     """PLOG + Chebyshev + SRI + chemically-activated + fractional nu."""
     from pyjac_tpu.testers.synthetic import random_states, \
@@ -494,13 +514,16 @@ def test_sparse_stage_b_fused_interpret_numerics(tmp_path):
     assert err < 5e-9, err
 
 
-def test_big_pipeline_interpret_numerics(tmp_path):
+@pytest.mark.parametrize('expanded', [False, True])
+def test_big_pipeline_interpret_numerics(tmp_path, expanded):
     """END-TO-END CPU numerics for the 654-class pipeline (tiled+split
     parts kernels -> sparse column kernel) in eager interpret mode:
     the full `PallasDDJacobianBig(sparse_cols=True, parts_kernel=True)`
     public __call__ against the XLA dd reference.  Previously only the
     parts SECTION had interpret numerics; the column kernel and the
-    stage plumbing were trace-only in CI."""
+    stage plumbing were trace-only in CI.  ``expanded`` covers the
+    round-5 single-gather assembly (`expanded_cols=True`, the
+    flagship fused-gather tables at big-mech scale)."""
     from pyjac_tpu.ops.pallas_dd import PallasDDJacobianBig
     from pyjac_tpu.testers.synthetic import random_states
 
@@ -508,6 +531,7 @@ def test_big_pipeline_interpret_numerics(tmp_path):
                                  seed=7, gri_mix=True)
     big = PallasDDJacobianBig(packed, block_b=8, jb=8, tile_r=8,
                               sparse_cols=True, parts_kernel=True,
+                              expanded_cols=expanded,
                               interpret=True)
     assert big._split_r1          # the split path is the default
     y, _, P = random_states(mech, 8, seed=3)

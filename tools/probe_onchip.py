@@ -238,7 +238,7 @@ def job_fullfeat(B=262144):
 
 
 def job_big654(B=1024, block_b=128, jb=16, tile_r=512,
-               skip_split=False):
+               skip_split=False, expanded=False):
     """654-class tiled+split parts pipeline: throughput + the stage
     split the round-5 docs cite (full pass vs everything-the-column-
     kernel-streams), with the kernel-shape knobs exposed so tuning
@@ -253,10 +253,27 @@ def job_big654(B=1024, block_b=128, jb=16, tile_r=512,
     mech, packed = _packed('big654')
     pj = PallasDDJacobianBig(packed, block_b=block_b, jb=jb,
                              tile_r=tile_r, sparse_cols=True,
-                             parts_kernel=True, split_presmod=True)
+                             parts_kernel=True, split_presmod=True,
+                             expanded_cols=expanded)
     print('big654 config: block_b=%d jb=%d tile_r=%d split_r1=%s '
-          'Rmax=%d' % (block_b, jb, tile_r, pj._split_r1,
-                       pj.SC['Rmax']))
+          'Rmax=%d expanded=%s' % (block_b, jb, tile_r, pj._split_r1,
+                                   pj.SC['Rmax'], expanded))
+
+    # parity on CPU-checked states first (B=block_b compiles fast and
+    # warms the service; CPU true-f64 at 654 species: ~minutes for 4
+    # states in a subprocess)
+    ref = _cpu_ref('big654', 4, '/tmp/probe_big654_ref.npz')
+    nref = len(ref['y'])
+    yp = np.repeat(ref['y'], block_b // nref, axis=0)
+    Pp = np.repeat(ref['P'], block_b // nref, axis=0)
+    Jp, fp = pj(yp.astype(np.float64), Pp.astype(np.float64))
+    Jl = np.asarray(Jp)[::block_b // nref].transpose(0, 2, 1).reshape(
+        nref, -1)
+    rl = ref['J'].transpose(0, 2, 1).reshape(nref, -1)
+    print('ON-CHIP big654 vs CPU true-f64: J floored@1e-10 %.3e, '
+          'J norm-rel %.3e, f norm-rel %.3e'
+          % (_floored(Jl, rl), _norm_rel(Jl, rl),
+             _norm_rel(np.asarray(fp)[::block_b // nref], ref['f'])))
 
     y, _, P = random_states(mech, B, seed=1, T_range=(1500.0, 2500.0))
     args = tuple(_split_tr(y.astype(np.float64), P.astype(np.float64)))
@@ -295,6 +312,7 @@ def main():
     ap.add_argument('--jb', type=int, default=16)
     ap.add_argument('--tile-r', type=int, default=512)
     ap.add_argument('--skip-split', action='store_true')
+    ap.add_argument('--expanded', action='store_true')
     args = ap.parse_args()
     if args.job == 'flagship-verify':
         job_flagship_verify()
@@ -302,7 +320,8 @@ def main():
         job_usc2(**({'B': args.b} if args.b else {}))
     elif args.job == 'big654':
         job_big654(B=args.b or 1024, block_b=args.block_b, jb=args.jb,
-                   tile_r=args.tile_r, skip_split=args.skip_split)
+                   tile_r=args.tile_r, skip_split=args.skip_split,
+                   expanded=args.expanded)
     else:
         job_fullfeat(**({'B': args.b} if args.b else {}))
 
