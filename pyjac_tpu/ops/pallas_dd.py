@@ -1518,11 +1518,24 @@ def _finish_dd(meta, C, st: dict, rp: dict) -> dict:
     col0 = ddx.concat0([JTT, JYT])                       # (N, B)
     f_out = ddx.concat0([fT, fkJ])
 
+    # column-independent finishing terms, combined ONCE per block: the
+    # per-column finish (_post_col) previously re-added v_1 - v_at +
+    # v_pd and re-multiplied mwJ*rho_inv inside the kernel for every
+    # one of the J columns — O(J*N*B) VPU dd work on values that do
+    # not depend on the column (round-5 654-class stage analysis:
+    # per-element kernel work binds, docs/performance.md)
+    v_c = v_1
+    if meta['has_pres_mod']:
+        v_c = v_c - v_at
+        if meta['has_spec_pdep']:
+            v_c = v_c + v_pd
+    mr = mwJ * rho_inv                                   # (J, B)
+
     out = dict(col0=col0, f_out=f_out, vals_f=vals_f, vals_p=vals_p,
                psi_q=psi_q, xi_q=xi_q, v_u=v_u, v_1=v_1, mwJ=mwJ,
                rho_inv=rho_inv, fkJ=fkJ, eWn=eWn,
                ish=ish, cp=cp, mw_avg=mw_avg, fT=fT,
-               v_at=v_at, v_pd=v_pd)
+               v_at=v_at, v_pd=v_pd, v_c=v_c, mr=mr)
     if meta.get('debug_parts'):
         out.update({k: rp[k] for k in ('Rf', 'Rr', 'pm', 'pmrho',
                                        'qnet')})
@@ -1583,19 +1596,19 @@ def _p1_col(meta, C, parts, colf) -> DDA:
 def _post_col(meta, C, parts, dcol: DDA, u_j: DDA, cp_j: DDA) -> DDA:
     """Finish one column from its stoichiometric contraction dcol
     (already scaled by w_j; the hoisted dense pressure-mod terms are
-    reattached here — see _p1_col)."""
+    reattached here via the pre-combined ``v_c`` — see _p1_col and
+    _finish_dd).  ``v_c`` (= v_1 - v_at + v_pd) and ``mr``
+    (= mwJ*rho_inv) are column-independent and computed once per
+    block upstream — 3 of ~10 per-element dd ops removed from the
+    per-column kernels."""
     J = meta['J']
-    dcol = dcol + parts['v_u'] * u_j + parts['v_1']
-    if meta['has_pres_mod']:
-        dcol = dcol - parts['v_at']
-        if meta['has_spec_pdep']:
-            dcol = dcol + parts['v_pd']
+    dcol = dcol + parts['v_u'] * u_j + parts['v_c']
     if meta['conp']:
         r_j = -(parts['mw_avg'] * u_j)
     else:
         r_j = ddx.zeros_like(parts['mw_avg'])
     cp_N = parts['cp'].slice0(meta['N'] - 1, meta['N'])    # (1, B)
-    JYY_col = (parts['mwJ'] * parts['rho_inv'] * dcol.slice0(0, J) -
+    JYY_col = (parts['mr'] * dcol.slice0(0, J) -
                parts['fkJ'] * r_j)
     JTY_col = (-ddx.sum0(parts['eWn'] * dcol) -
                parts['fT'] * (r_j + (cp_j - cp_N) * parts['ish']))
@@ -1999,15 +2012,12 @@ def supports(packed) -> bool:
 # postcol parts every column-finishing stage streams (shared between
 # the sparse pipeline's two kernels)
 def _postcol_stream_spec(meta):
-    spec = []
-    if meta['has_pres_mod']:
-        spec += [('v_at', 'N')]
-        if meta['has_spec_pdep']:
-            spec += [('v_pd', 'N')]
-    spec += [('v_u', 'N'), ('v_1', 'N'), ('eWn', 'N'), ('cp', 'N')]
-    spec += [('fkJ', 'J')]
-    spec += [('rho_inv', '1'), ('ish', '1'), ('mw_avg', '1'),
-             ('fT', '1')]
+    # v_c pre-combines v_1 - v_at + v_pd and mr pre-combines
+    # mwJ*rho_inv (see _finish_dd): two fewer N-row streams AND three
+    # fewer per-element dd ops per column in the kernels
+    spec = [('v_u', 'N'), ('v_c', 'N'), ('eWn', 'N'), ('cp', 'N')]
+    spec += [('fkJ', 'J'), ('mr', 'J')]
+    spec += [('ish', '1'), ('mw_avg', '1'), ('fT', '1')]
     return spec
 
 
@@ -2090,8 +2100,6 @@ def _kernel_dd_cols_x(meta, names, SCmeta, *refs):
     parts = {}
     for idx, (name, _) in enumerate(stream):
         parts[name] = DDA(ins[2 * idx][...], ins[2 * idx + 1][...])
-    parts['mwJ'] = DDA(C['mw_col_hi'][0:meta['J']],
-                       C['mw_col_lo'][0:meta['J']])
     cp_idx = [i for i, (nm, _) in enumerate(stream) if nm == 'cp'][0]
     cph_ref, cpl_ref = ins[2 * cp_idx], ins[2 * cp_idx + 1]
 
@@ -2144,8 +2152,6 @@ def _kernel_dd_cols_fused(meta, names, SCmeta, gidx, *refs):
     parts = {}
     for idx, (name, _) in enumerate(stream):
         parts[name] = DDA(ins[2 * idx][...], ins[2 * idx + 1][...])
-    parts['mwJ'] = DDA(C['mw_col_hi'][0:meta['J']],
-                       C['mw_col_lo'][0:meta['J']])
     cp_idx = [i for i, (nm, _) in enumerate(stream) if nm == 'cp'][0]
     cph_ref, cpl_ref = ins[2 * cp_idx], ins[2 * cp_idx + 1]
 
@@ -2579,14 +2585,9 @@ def _parts_stream_spec(meta, sparse: bool = False):
             spec += [('psi_q', 'R')]
             if meta['has_spec_pdep']:
                 spec += [('xi_q', 'R')]
-    if meta['has_pres_mod']:
-        spec += [('v_at', 'N')]
-        if meta['has_spec_pdep']:
-            spec += [('v_pd', 'N')]
-    spec += [('v_u', 'N'), ('v_1', 'N'), ('eWn', 'N'), ('cp', 'N')]
-    spec += [('fkJ', 'J')]
-    spec += [('rho_inv', '1'), ('ish', '1'),
-             ('mw_avg', '1'), ('fT', '1')]
+    spec += [('v_u', 'N'), ('v_c', 'N'), ('eWn', 'N'), ('cp', 'N')]
+    spec += [('fkJ', 'J'), ('mr', 'J')]
+    spec += [('ish', '1'), ('mw_avg', '1'), ('fT', '1')]
     return spec
 
 
@@ -2617,8 +2618,6 @@ def _kernel_dd_cols(meta, names, *refs):
             parts['vals_p'][int(name[6:])] = val
         else:
             parts[name] = val
-    parts['mwJ'] = DDA(C['mw_col_hi'][0:meta['J']],
-                       C['mw_col_lo'][0:meta['J']])
     cp_idx = [idx for idx, (nm, _) in enumerate(stream)
               if nm == 'cp'][0]
     cph_ref, cpl_ref = ins[2 * cp_idx], ins[2 * cp_idx + 1]
@@ -2732,8 +2731,6 @@ def _kernel_dd_cols_sparse(meta, names, SCmeta, *refs):
             p1h_ref, p1l_ref = ins[2 * idx], ins[2 * idx + 1]
         else:
             parts[name] = DDA(ins[2 * idx][...], ins[2 * idx + 1][...])
-    parts['mwJ'] = DDA(C['mw_col_hi'][0:meta['J']],
-                       C['mw_col_lo'][0:meta['J']])
     cp_idx = [idx for idx, (nm, _) in enumerate(stream)
               if nm == 'cp'][0]
     cph_ref, cpl_ref = ins[2 * cp_idx], ins[2 * cp_idx + 1]
