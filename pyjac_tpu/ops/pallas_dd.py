@@ -601,7 +601,8 @@ def _sparse_col_pack(packed, meta, jb: int = 8):
     )
 
 
-def _sparse_col_pack_expanded(packed, meta, jb: int = 8):
+def _sparse_col_pack_expanded(packed, meta, jb: int = 8,
+                              n_classes: int = 1):
     """Expanded compressed-column tables: one gather, zero arithmetic.
 
     Each (column, participating-reaction) pair expands into one row per
@@ -620,6 +621,20 @@ def _sparse_col_pack_expanded(packed, meta, jb: int = 8):
     XLA gathers are pure data movement and fuse, while barriered dd
     arithmetic in XLA materialises every intermediate (measured 14x
     slowdown on the streamed flagship).
+
+    ``n_classes > 1`` additionally sorts columns by role count
+    (descending) and partitions the column blocks into up to
+    ``n_classes`` Rmax classes, so low-participation columns — the
+    654-class mech's mean role count is 16 against a global Rmax of
+    40 — stream and contract against tables sized to their own class
+    (the reference's generated per-entry code likewise only touches
+    each column's own reactions, create_jacobian.py:2650-2938).
+    Per-column results stay bit-identical: padding rows are exact
+    zeros in the integer-sliced MXU passes and every class shares the
+    global slice scaling (``nu_max_l1``).  Returned as
+    ``SC['classes']``: one table set per class plus the int32
+    ``colmap`` (kernel-row -> original column) and ``orig`` (the host
+    unpermutation).
     """
     N, R, J = meta['N'], meta['R'], meta['J']
     Sf, Sp = meta['Sf'], meta['Sp']
@@ -673,13 +688,63 @@ def _sparse_col_pack_expanded(packed, meta, jb: int = 8):
     # can exceed the global slicing's row L1)
     max_l1 = int(np.ceil((np.abs(nuc).sum(axis=2) * 256.0).max()))
 
-    return dict(
+    out = dict(
         Rmax=Rmax, J_pad=J_pad, n_blocks=n_blocks, n_src=n_src,
         gidx=gidx, nuc=np.ascontiguousarray(nuc),
         nu_rs=np.asarray(S.row_scale, np.float32),
         nu_max_l1=max(max_l1, 1),
         deep_cols=np.nonzero(deep[:J])[0],
     )
+    if n_classes > 1 and not len(out['deep_cols']):
+        out['classes'] = _rmax_classes(roles, gidx, nuc, zero_row,
+                                       jb, int(n_classes))
+    return out
+
+
+def _rmax_classes(roles, gidx, nuc, zero_row, jb, n_classes):
+    """Partition sorted column blocks into <= ``n_classes`` Rmax
+    classes (see :func:`_sparse_col_pack_expanded`).  The class
+    boundaries minimise the total streamed+contracted row work over
+    the exact per-block needs (exhaustive over the handful of
+    distinct ceil-8 block maxima)."""
+    import itertools
+
+    J = len(roles)
+    counts = np.array([len(r) for r in roles])
+    order = np.argsort(-counts, kind='stable')
+    chunks = [order[i:i + jb] for i in range(0, J, jb)]
+    need = np.array([max(8, int(-(-counts[c].max() // 8) * 8))
+                     for c in chunks])
+    vals = sorted(set(need.tolist()))
+    best, best_keep = None, None
+    lower = [v for v in vals[:-1]]
+    for k in range(min(n_classes - 1, len(lower)) + 1):
+        for combo in itertools.combinations(lower, k):
+            keep = sorted(combo) + [vals[-1]]
+            work = sum(min(v for v in keep if v >= nd) * jb
+                       for nd in need)
+            if best is None or work < best:
+                best, best_keep = work, keep
+    assign = np.array([min(v for v in best_keep if v >= nd)
+                       for nd in need])
+    classes = []
+    for rmax in sorted(set(assign.tolist()), reverse=True):
+        blks = [chunks[i] for i in np.nonzero(assign == rmax)[0]]
+        cols = np.concatenate(blks)
+        n_cols = len(cols)
+        n_blk = -(-n_cols // jb)
+        n_pad = n_blk * jb
+        colmap = np.concatenate(
+            [cols, np.repeat(cols[-1:], n_pad - n_cols)]
+        ).astype(np.int32)
+        g_c = np.full((n_pad, rmax), zero_row, np.int32)
+        nu_c = np.zeros((n_pad, nuc.shape[1], rmax), np.float32)
+        g_c[:] = gidx[colmap][:, :rmax]
+        nu_c[:] = nuc[colmap][:, :, :rmax]
+        classes.append(dict(Rmax=rmax, n_blocks=n_blk, n_cols=n_cols,
+                            gidx=g_c, nuc=np.ascontiguousarray(nu_c),
+                            colmap=colmap, orig=cols.astype(np.int32)))
+    return classes
 
 
 def _p1c_from_parts(meta, SC, C, parts, expanded: bool):
@@ -690,6 +755,16 @@ def _p1c_from_parts(meta, SC, C, parts, expanded: bool):
     arithmetic collapses to the (R, B) source build)."""
     if expanded:
         src = _stack_expanded_src(meta, C, parts)
+        if 'classes' in SC:
+            # one gather per Rmax class — the total gathered rows drop
+            # to the classes' summed (n_pad * Rmax_c), ~half the
+            # uniform expansion on the 654-class mech
+            out = []
+            for cl in SC['classes']:
+                gi = jnp.asarray(cl['gidx']).reshape(-1)
+                out.append(DDA(jnp.take(src.hi, gi, axis=0),
+                               jnp.take(src.lo, gi, axis=0)))
+            return out
         gi = jnp.asarray(SC['gidx']).reshape(-1)
         return DDA(jnp.take(src.hi, gi, axis=0),
                    jnp.take(src.lo, gi, axis=0)).reshape(
@@ -2722,7 +2797,15 @@ def _kernel_dd_cols_sparse(meta, names, SCmeta, *refs):
     n_stream = 2 * len(stream)
     ins = refs[nc:nc + n_stream]
     nuc_ref = refs[nc + n_stream]
-    Jh_ref, Jl_ref = refs[nc + n_stream + 1:nc + n_stream + 3]
+    cm_ref = None
+    nxt = nc + n_stream + 1
+    if SCmeta.get('colmap'):
+        # Rmax-class kernels process a sorted column subset: the int32
+        # SMEM colmap carries each kernel row's ORIGINAL column index
+        # (w_j/u_j/cp_j lookups; padding rows duplicate a real column)
+        cm_ref = refs[nxt]
+        nxt += 1
+    Jh_ref, Jl_ref = refs[nxt:nxt + 2]
 
     parts = {}
     p1h_ref = p1l_ref = None
@@ -2743,7 +2826,10 @@ def _kernel_dd_cols_sparse(meta, names, SCmeta, *refs):
     Rmax = SCmeta['Rmax']
     for g in range(jb):
         c = k * jnp.int32(jb) + jnp.int32(g)
-        j = jnp.clip(c, jnp.int32(0), jnp.int32(J - 1))
+        if cm_ref is not None:
+            j = cm_ref[0, c]
+        else:
+            j = jnp.clip(c, jnp.int32(0), jnp.int32(J - 1))
         w_j = DDA(cref['winv_hi'][0, j], cref['winv_lo'][0, j])
         u_j = DDA(cref['u_vec_hi'][0, j], cref['u_vec_lo'][0, j])
         cp_j = DDA(cph_ref[pl.ds(j, 1), :], cpl_ref[pl.ds(j, 1), :])
@@ -2792,10 +2878,12 @@ class PallasDDJacobianBig:
                  log_rates: bool = False, parts_kernel: bool = False,
                  tile_r: int = 512, compact_pdep: bool = None,
                  split_presmod: bool = None,
-                 expanded_cols: bool = False):
+                 expanded_cols: bool = False,
+                 rmax_classes: int = 1):
         self.packed = packed
         self.block_b = block_b
         self.expanded_cols = bool(expanded_cols)
+        self.rmax_classes = int(rmax_classes)
         self.jb = jb
         self.interpret = interpret
         self.sparse_cols = bool(sparse_cols)
@@ -2859,12 +2947,14 @@ class PallasDDJacobianBig:
         # Same Rmax/J_pad/kernel layout (the column kernel is
         # pack-agnostic: nuc x p1c + _post_col corrections).
         if sparse_cols:
-            SC = (_sparse_col_pack_expanded(packed, meta, jb=jb)
+            SC = (_sparse_col_pack_expanded(packed, meta, jb=jb,
+                                            n_classes=rmax_classes)
                   if expanded_cols
                   else _sparse_col_pack(packed, meta, jb=jb))
         else:
             SC = None
         self.SC = SC
+        self.col_classes = SC.get('classes') if SC else None
         # the kernel only needs the column-loop constants; drop the
         # parts-stage tables from its argument list
         drop_pre = ('cp_', 'h_', 'smh_', 'dsmh_', 'dcp_',
@@ -2977,8 +3067,9 @@ class PallasDDJacobianBig:
             if self.sparse_cols:
                 p1c3 = _p1c_from_parts(meta, SC, C2, parts,
                                        self.expanded_cols)
-                parts['p1c'] = p1c3.reshape(
-                    SC['J_pad'] * SC['Rmax'], -1)
+                parts['p1c'] = (p1c3 if isinstance(p1c3, list)
+                                else p1c3.reshape(
+                                    SC['J_pad'] * SC['Rmax'], -1))
             out = []
             for name, _ in stream:
                 if name.startswith('vals_f'):
@@ -2987,7 +3078,11 @@ class PallasDDJacobianBig:
                     v = parts['vals_p'][int(name[6:])]
                 else:
                     v = parts[name]
-                out += [v.hi, v.lo]
+                if isinstance(v, list):         # per-class p1c blocks
+                    for vc in v:
+                        out += [vc.hi, vc.lo]
+                else:
+                    out += [v.hi, v.lo]
             # fractional-nu ("deep") columns: beyond the slice-0 table
             # the fast path streams — computed here on the dense path
             # (a handful of columns at most; zero in real mechanisms)
@@ -3144,8 +3239,10 @@ class PallasDDJacobianBig:
                     if self.sparse_cols:
                         p1c3 = _p1c_from_parts(meta, SC, Call, parts,
                                                self.expanded_cols)
-                        parts['p1c'] = p1c3.reshape(
-                            SC['J_pad'] * SC['Rmax'], -1)
+                        parts['p1c'] = (
+                            p1c3 if isinstance(p1c3, list)
+                            else p1c3.reshape(
+                                SC['J_pad'] * SC['Rmax'], -1))
                     out = []
                     for name, _ in stream:
                         if name.startswith('vals_f'):
@@ -3154,7 +3251,11 @@ class PallasDDJacobianBig:
                             v = parts['vals_p'][int(name[6:])]
                         else:
                             v = parts[name]
-                        out += [v.hi, v.lo]
+                        if isinstance(v, list):   # per-class p1c
+                            for vc in v:
+                                out += [vc.hi, vc.lo]
+                        else:
+                            out += [v.hi, v.lo]
                     deep_cols = None
                     if self.sparse_cols and len(SC['deep_cols']):
                         u_vec = _cdd(Call, 'u_vec')
@@ -3201,6 +3302,62 @@ class PallasDDJacobianBig:
                 (rows, block_b), lambda i, kk: (i * 0, i),
                 memory_space=pltpu.VMEM)
             shp = {'R': R, 'N': N, 'J': J, '1': 1}
+            args = [jnp.asarray(self.kconsts[nm]) for nm in self.names]
+            mode = 'xla' if self.interpret else 'none'
+            if self.col_classes:
+                # one pallas_call per Rmax class (sorted column
+                # subsets); the host (or a caller-side take) maps the
+                # per-class outputs back to original column order
+                n_cls = len(self.col_classes)
+                p1c_vals = stream_vals[:2 * n_cls]
+                rest_vals = list(stream_vals[2 * n_cls:])
+                cls_out = []
+                for ci, cl in enumerate(self.col_classes):
+                    Rc, njb_c = cl['Rmax'], cl['n_blocks']
+                    in_specs_c = []
+                    for _, kind in stream:
+                        if kind == 'P1C':
+                            in_specs_c += [pl.BlockSpec(
+                                (jb * Rc, block_b),
+                                lambda i, kk: (kk, i),
+                                memory_space=pltpu.VMEM)] * 2
+                        else:
+                            in_specs_c += [bspec(shp[kind])] * 2
+                    cm = jnp.asarray(cl['colmap'][None])
+                    extra_c = [jnp.asarray(cl['nuc']).reshape(
+                        njb_c * jb * N, Rc), cm]
+                    specs_c = (const_specs + in_specs_c + [
+                        pl.BlockSpec((jb * N, Rc),
+                                     lambda i, kk: (kk, i * 0),
+                                     memory_space=pltpu.VMEM),
+                        pl.BlockSpec(cm.shape,
+                                     lambda i, kk: (0, 0),
+                                     memory_space=pltpu.SMEM)])
+                    kern_c = functools.partial(
+                        _kernel_dd_cols_sparse, meta, self.names,
+                        {'nu_max_l1': SC['nu_max_l1'], 'Rmax': Rc,
+                         'colmap': True})
+                    out_specs_c = [pl.BlockSpec(
+                        (jb, N, block_b), lambda i, kk: (kk, i * 0, i),
+                        memory_space=pltpu.VMEM)] * 2
+                    out_shape_c = [jax.ShapeDtypeStruct(
+                        (njb_c * jb, N, B), jnp.float32)] * 2
+                    with df.barrier_mode(mode):
+                        Jh_c, Jl_c = pl.pallas_call(
+                            kern_c, grid=(B // block_b, njb_c),
+                            in_specs=specs_c, out_specs=out_specs_c,
+                            out_shape=out_shape_c,
+                            interpret=self.interpret,
+                            compiler_params=pltpu.CompilerParams(
+                                vmem_limit_bytes=110 * 1024 * 1024,
+                                dimension_semantics=('arbitrary',
+                                                     'arbitrary')),
+                        )(*args,
+                          *(list(p1c_vals[2 * ci:2 * ci + 2]) +
+                            rest_vals), *extra_c)
+                    cls_out += [Jh_c, Jl_c]
+                return (*cls_out, col0.hi, col0.lo,
+                        f_out.hi, f_out.lo)
             in_specs = []
             for _, kind in stream:
                 if kind == 'P1C':
@@ -3234,8 +3391,6 @@ class PallasDDJacobianBig:
                 jax.ShapeDtypeStruct((self.n_cols_pad, N, B), jnp.float32),
                 jax.ShapeDtypeStruct((self.n_cols_pad, N, B), jnp.float32),
             ]
-            args = [jnp.asarray(self.kconsts[nm]) for nm in self.names]
-            mode = 'xla' if self.interpret else 'none'
             with df.barrier_mode(mode):
                 Jh, Jl = pl.pallas_call(
                     kern, grid=grid, in_specs=in_specs,
@@ -3274,11 +3429,23 @@ class PallasDDJacobianBig:
         # on XLA:CPU is a minutes-long compile, and eager per-op
         # dispatch keeps the error-free transformations exact
         call = self.call_fn if self.interpret else self.call_tr
-        Jh, Jl, c0h, c0l, fh, fl = call(
+        outs = call(
             jnp.asarray(yh), jnp.asarray(yl), jnp.asarray(ph),
             jnp.asarray(plo))
-        cols = (np.asarray(Jh, np.float64) +
-                np.asarray(Jl, np.float64))[:J]          # (J, N, B)
+        if self.col_classes:
+            # per-class outputs carry sorted column subsets; scatter
+            # them back to original column order on the host
+            c0h, c0l, fh, fl = outs[-4:]
+            Bp = np.asarray(outs[0]).shape[-1]
+            cols = np.empty((J, self.meta['N'], Bp), np.float64)
+            for ci, cl in enumerate(self.col_classes):
+                blk = (np.asarray(outs[2 * ci], np.float64) +
+                       np.asarray(outs[2 * ci + 1], np.float64))
+                cols[cl['orig']] = blk[:cl['n_cols']]
+        else:
+            Jh, Jl, c0h, c0l, fh, fl = outs
+            cols = (np.asarray(Jh, np.float64) +
+                    np.asarray(Jl, np.float64))[:J]      # (J, N, B)
         col0 = (np.asarray(c0h, np.float64) +
                 np.asarray(c0l, np.float64))[None]       # (1, N, B)
         Jmat = np.concatenate([col0, cols], 0).transpose(2, 1, 0)[:B]

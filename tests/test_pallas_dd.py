@@ -546,6 +546,37 @@ def test_big_pipeline_interpret_numerics(tmp_path, expanded):
     assert np.abs(np.asarray(fk) - fref).max() / sf < 5e-9
 
 
+def test_rmax_classes_bit_identical(tmp_path):
+    """Variable-Rmax column classes (``rmax_classes``: columns sorted
+    by role count, blocks partitioned into per-class tables with
+    class-sized Rmax) are exactly the uniform-Rmax expanded pipeline:
+    padding rows are exact zeros in the integer-sliced MXU passes and
+    every class shares the global ``nu_max_l1`` slice scaling, so the
+    host-unpermuted output is bitwise-equal.  The 654-class mech's
+    mean role count is 16 against Rmax=40 — the classes halve the
+    column kernel's streamed+contracted rows there."""
+    from pyjac_tpu.ops.pallas_dd import PallasDDJacobianBig
+    from pyjac_tpu.testers.synthetic import random_states
+
+    mech, packed = _synth_packed(tmp_path, n_species=9, n_reactions=24,
+                                 seed=7, gri_mix=True)
+    kw = dict(block_b=8, jb=1, tile_r=8, sparse_cols=True,
+              parts_kernel=True, expanded_cols=True, interpret=True)
+    b1 = PallasDDJacobianBig(packed, **kw)
+    b2 = PallasDDJacobianBig(packed, rmax_classes=3, **kw)
+    assert b2.col_classes and len(b2.col_classes) > 1
+    assert b2.col_classes[-1]['Rmax'] < b2.SC['Rmax']
+    orig = np.concatenate([c['orig'] for c in b2.col_classes])
+    assert sorted(orig.tolist()) == list(range(b2.meta['J']))
+    y, _, P = random_states(mech, 8, seed=3)
+    y = y.astype(np.float64)
+    P = P.astype(np.float64)
+    J1, f1 = b1(y, P)
+    J2, f2 = b2(y, P)
+    assert np.array_equal(np.asarray(J1), np.asarray(J2))
+    assert np.array_equal(np.asarray(f1), np.asarray(f2))
+
+
 def test_permute_reactions_dd_bitwise(tmp_path):
     """Reaction reordering (core.pack.permute_reactions) is exactly
     invariant on the dd path: per-row math is elementwise and the

@@ -238,7 +238,7 @@ def job_fullfeat(B=262144):
 
 
 def job_big654(B=1024, block_b=128, jb=16, tile_r=512,
-               skip_split=False, expanded=False):
+               skip_split=False, expanded=False, classes=1):
     """654-class tiled+split parts pipeline: throughput + the stage
     split the round-5 docs cite (full pass vs everything-the-column-
     kernel-streams), with the kernel-shape knobs exposed so tuning
@@ -254,10 +254,14 @@ def job_big654(B=1024, block_b=128, jb=16, tile_r=512,
     pj = PallasDDJacobianBig(packed, block_b=block_b, jb=jb,
                              tile_r=tile_r, sparse_cols=True,
                              parts_kernel=True, split_presmod=True,
-                             expanded_cols=expanded)
+                             expanded_cols=expanded,
+                             rmax_classes=classes)
     print('big654 config: block_b=%d jb=%d tile_r=%d split_r1=%s '
-          'Rmax=%d expanded=%s' % (block_b, jb, tile_r, pj._split_r1,
-                                   pj.SC['Rmax'], expanded))
+          'Rmax=%d expanded=%s classes=%s'
+          % (block_b, jb, tile_r, pj._split_r1, pj.SC['Rmax'],
+             expanded,
+             pj.col_classes and [(c['Rmax'], c['n_cols'])
+                                 for c in pj.col_classes]))
 
     # parity on CPU-checked states first (B=block_b compiles fast and
     # warms the service; CPU true-f64 at 654 species: ~minutes for 4
@@ -313,6 +317,7 @@ def main():
     ap.add_argument('--tile-r', type=int, default=512)
     ap.add_argument('--skip-split', action='store_true')
     ap.add_argument('--expanded', action='store_true')
+    ap.add_argument('--classes', type=int, default=1)
     args = ap.parse_args()
     if args.job == 'flagship-verify':
         job_flagship_verify()
@@ -321,7 +326,7 @@ def main():
     elif args.job == 'big654':
         job_big654(B=args.b or 1024, block_b=args.block_b, jb=args.jb,
                    tile_r=args.tile_r, skip_split=args.skip_split,
-                   expanded=args.expanded)
+                   expanded=args.expanded, classes=args.classes)
     else:
         job_fullfeat(**({'B': args.b} if args.b else {}))
 
