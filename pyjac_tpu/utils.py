@@ -102,3 +102,48 @@ def permute_to_original(packed: PackedMechanism,
     """Inverse of :func:`permute_to_internal`."""
     back = np.asarray(packed.mech.back_spec_mapping)
     return np.asarray(values)[..., back]
+
+
+def check_dd_range(packed: PackedMechanism, y, P, conp: bool = True,
+                   limit: float = 1e30) -> dict:
+    """Pre-flight range check for the double-float (f64-grade) TPU
+    kernels: evaluate the true-f64 Jacobian on CPU and report states
+    whose ``max|J|`` exceeds ``limit``.
+
+    Double-float arithmetic has 2^-48 precision but **float32 range**
+    (the same floor as this platform's XLA f64 emulation): a state
+    whose Jacobian magnitudes approach the f32 exponent ceiling
+    (~3.4e38) overflows the hi word to inf and NaN-poisons masked
+    multiplies.  Run this on any NEW mechanism/state set before
+    spending a multi-minute on-chip compile — the round-5 654-class
+    "kernel NaN" was exactly out-of-range DATA
+    (``synthetic_mechanism``'s random thermo put 55/64 states beyond
+    f32 range; the reference's f64 C, with 2^-1022 range, would not
+    NaN — a platform constraint, not a parity gap).
+
+    Returns ``{'ok': bool, 'max_abs_j': float, 'per_state': (B,),
+    'bad_states': indices with max|J| > limit}``.  ``limit`` defaults
+    to 1e30 (headroom under f32 max for dd intermediates).
+
+    Requires ``jax_enable_x64`` (raises otherwise, like
+    :func:`ops.pallas_dd.jacobian_dd_xla`).
+    """
+    import jax
+
+    if not jax.config.jax_enable_x64:
+        raise RuntimeError('check_dd_range needs jax_enable_x64 for '
+                           'its true-f64 reference evaluation')
+    from .ops.jacobian import eval_jacobian
+
+    y64 = np.asarray(y, np.float64)
+    P64 = np.broadcast_to(np.asarray(P, np.float64), y64.shape[:1])
+    with jax.default_device(jax.devices('cpu')[0]):
+        J = np.asarray(eval_jacobian(packed, 0.0, P64, y64, conp=conp))
+    per_state = np.abs(J).reshape(len(y64), -1).max(axis=1)
+    bad = np.nonzero(~(per_state <= limit))[0]    # catches NaN too
+    return {
+        'ok': len(bad) == 0,
+        'max_abs_j': float(np.nanmax(per_state)),
+        'per_state': per_state,
+        'bad_states': bad,
+    }

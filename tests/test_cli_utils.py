@@ -100,3 +100,25 @@ def test_cli_skip_jac(h2o2_cti, tmp_path):
     rc = cli_main(['-i', h2o2_cti, '-b', str(tmp_path / 'o2'),
                    '--skip_jac', '--validate'])
     assert rc == 0
+
+
+def test_check_dd_range(h2o2_packed):
+    """Pre-flight dd range check: in-range combustion states pass;
+    states driven beyond the f32 exponent ceiling (the double-float
+    range floor — the round-5 654-class NaN root cause) are flagged
+    by index."""
+    rng = np.random.default_rng(0)
+    N = h2o2_packed.n_species
+    Y = rng.dirichlet(np.ones(N), size=4)
+    y = np.concatenate([rng.uniform(1200, 2000, (4, 1)),
+                        Y[:, :-1]], axis=1)
+    P = np.full(4, 101325.0)
+    r = utils.check_dd_range(h2o2_packed, y, P)
+    assert r['ok'] and len(r['bad_states']) == 0
+    assert r['per_state'].shape == (4,)
+    assert r['max_abs_j'] < 1e30
+
+    # a tiny limit flags every state, preserving indices
+    r2 = utils.check_dd_range(h2o2_packed, y, P,
+                              limit=r['per_state'].min() / 2)
+    assert not r2['ok'] and len(r2['bad_states']) == 4
