@@ -514,8 +514,9 @@ def test_sparse_stage_b_fused_interpret_numerics(tmp_path):
     assert err < 5e-9, err
 
 
-@pytest.mark.parametrize('expanded', [False, True])
-def test_big_pipeline_interpret_numerics(tmp_path, expanded):
+@pytest.mark.parametrize('expanded,conp', [(False, True), (True, True),
+                                           (True, False)])
+def test_big_pipeline_interpret_numerics(tmp_path, expanded, conp):
     """END-TO-END CPU numerics for the 654-class pipeline (tiled+split
     parts kernels -> sparse column kernel) in eager interpret mode:
     the full `PallasDDJacobianBig(sparse_cols=True, parts_kernel=True)`
@@ -523,7 +524,8 @@ def test_big_pipeline_interpret_numerics(tmp_path, expanded):
     parts SECTION had interpret numerics; the column kernel and the
     stage plumbing were trace-only in CI.  ``expanded`` covers the
     round-5 single-gather assembly (`expanded_cols=True`, the
-    flagship fused-gather tables at big-mech scale)."""
+    flagship fused-gather tables at big-mech scale); ``conp=False``
+    the constant-volume formulation through the same pipeline."""
     from pyjac_tpu.ops.pallas_dd import PallasDDJacobianBig
     from pyjac_tpu.testers.synthetic import random_states
 
@@ -531,14 +533,16 @@ def test_big_pipeline_interpret_numerics(tmp_path, expanded):
                                  seed=7, gri_mix=True)
     big = PallasDDJacobianBig(packed, block_b=8, jb=8, tile_r=8,
                               sparse_cols=True, parts_kernel=True,
-                              expanded_cols=expanded,
+                              expanded_cols=expanded, conp=conp,
                               interpret=True)
     assert big._split_r1          # the split path is the default
     y, _, P = random_states(mech, 8, seed=3)
     y = y.astype(np.float64)
     P = P.astype(np.float64)
+    if not conp:
+        P = np.full(len(y), 1.2)      # CONV parameter is density
     Jk, fk = big(y, P)
-    Jref, fref = jacobian_dd_xla(packed, P, y)
+    Jref, fref = jacobian_dd_xla(packed, P, y, conp=conp)
     Jref, fref = np.asarray(Jref), np.asarray(fref)
     s = np.abs(Jref).max()
     assert np.abs(np.asarray(Jk) - Jref).max() / s < 5e-9
